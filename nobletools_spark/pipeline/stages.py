@@ -1,0 +1,212 @@
+"""Pipeline stages: documents -> sentences -> mentions -> triples.
+
+Stage architecture (SURVEY.md §7): each stage is a pure DataFrame ->
+DataFrame transform; the heavy lexical work runs inside Arrow-batched
+``mapInPandas`` over a broadcast dictionary (the Spark analog of the
+reference's single-JVM loop over JDBM hashtables — every sentence is
+independent, so the per-sentence matcher parallelizes embarrassingly
+across executors; the only shuffles in the whole pipeline are the
+document-level context pass (groupBy doc_id) and the final triple dedupe).
+
+Scale posture:
+- dictionaries travel once per executor via ``SparkContext.broadcast``;
+- sentence-split and mention-detect are narrow (no shuffle);
+- the hot-word skew the reference fights with its blacklist
+  (BlacklistHandler.java) is defused the same way here (pre-pruned posting
+  lists) plus optional salted repartition (``salt_documents``) so hot
+  documents spread over all partitions;
+- `spark.sql.adaptive.enabled` is assumed on for runtime skew re-splits.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+
+from ..config import SearchConfig, for_search_method
+from ..matcher.core import process_sentence
+from ..sentence import splitter as SP
+from ..terminology.storage import Dictionary
+
+SENTENCES_SCHEMA = ST.StructType([
+    ST.StructField("doc_id", ST.StringType(), False),
+    ST.StructField("sent_id", ST.IntegerType(), False),
+    ST.StructField("sent_type", ST.StringType(), False),
+    ST.StructField("text", ST.StringType(), False),
+    ST.StructField("offset", ST.IntegerType(), False),
+])
+
+MENTIONS_SCHEMA = ST.StructType([
+    ST.StructField("doc_id", ST.StringType(), False),
+    ST.StructField("sent_id", ST.IntegerType(), False),
+    ST.StructField("cui", ST.StringType(), False),
+    ST.StructField("concept_name", ST.StringType(), False),
+    ST.StructField("matched_term", ST.StringType(), False),
+    ST.StructField("normalized_term", ST.StringType(), False),
+    ST.StructField("score", ST.DoubleType(), False),
+    ST.StructField("annotations", ST.ArrayType(ST.StructType([
+        ST.StructField("text", ST.StringType(), False),
+        ST.StructField("offset", ST.IntegerType(), False),
+    ])), False),
+    ST.StructField("start", ST.IntegerType(), False),
+    ST.StructField("end", ST.IntegerType(), False),
+    ST.StructField("sem_types", ST.ArrayType(ST.StringType()), False),
+    ST.StructField("sources", ST.ArrayType(ST.StringType()), False),
+])
+
+TRIPLES_SCHEMA = ST.StructType([
+    ST.StructField("subj", ST.StringType(), False),
+    ST.StructField("pred", ST.StringType(), False),
+    ST.StructField("obj", ST.StringType(), False),
+    ST.StructField("doc_id", ST.StringType(), False),
+])
+
+
+def salt_documents(documents: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """Skew defense: spread documents evenly regardless of content hot spots.
+    ``repartition(hash(doc_id, salt))`` keeps each doc whole (doc-level state
+    stays local) while breaking any clustering of hot-term documents."""
+    if salt_buckets <= 0:
+        return documents
+    return (documents
+            .withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)))
+            .repartition(salt_buckets, "_salt")
+            .drop("_salt"))
+
+
+def split_sentences(documents: DataFrame, doc_type: str = SP.TYPE_MEDICAL_REPORT,
+                    filter_headers: bool = True) -> DataFrame:
+    """P1: explode ``kind='text'`` spans into typed sentences with
+    document-absolute offsets (C1-C6). Narrow transform, no shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ("doc_id", "sent_id", "sent_type", "text", "offset")}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                sent_id = 0
+                for span in spans:
+                    kind = span["kind"] if isinstance(span, dict) else span.kind
+                    if kind != "text":
+                        continue
+                    stext = span["text"] if isinstance(span, dict) else span.text
+                    soff = span["offset"] if isinstance(span, dict) else span.offset
+                    if not stext:
+                        continue
+                    rows, _ = SP.process_document(stext, doc_type)
+                    for r in rows:
+                        # clip the phantom trailing pad the line-splitter
+                        # appends past the end of the span (parity artifact
+                        # of re-appending '\n' to the final split line)
+                        over = (r.offset + len(r.text)) - len(stext)
+                        if over > 0:
+                            r.text = r.text[:-over]
+                        if SP.filter_sentence(r.text, r.sent_type,
+                                              filter_header=filter_headers):
+                            continue
+                        out["doc_id"].append(doc_id)
+                        out["sent_id"].append(sent_id)
+                        out["sent_type"].append(r.sent_type)
+                        out["text"].append(r.text)
+                        out["offset"].append(int(soff) + r.offset)
+                        sent_id += 1
+            if out["doc_id"]:  # empty frames infer float64 cols, breaking Arrow
+                yield pd.DataFrame(out)
+
+    return documents.mapInPandas(gen, schema=SENTENCES_SCHEMA)
+
+
+def detect_mentions(sentences: DataFrame, dico_bc, cfg: SearchConfig | None = None,
+                    deid_scrub: bool = True) -> DataFrame:
+    """P2: the match stage. Broadcast-dictionary probe inside mapInPandas —
+    relationally a broadcast hash semi-join of sentence words against the WT
+    table followed by the TC expansion, executed as in-memory dict probes.
+    Annotation offsets are rebased to document-absolute (Mention.java:75-81).
+    """
+    cfg = cfg or for_search_method(None)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dico: Dictionary = dico_bc.value if hasattr(dico_bc, "value") else dico_bc
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
+            for doc_id, sent_id, text, offset in zip(
+                    pdf["doc_id"], pdf["sent_id"], pdf["text"], pdf["offset"]):
+                stext = SP.filter_deid_tags(text) if deid_scrub else text
+                for m in process_sentence(stext, dico, cfg):
+                    anns = [{"text": t, "offset": int(offset) + o}
+                            for t, o in m.annotations]
+                    out["doc_id"].append(doc_id)
+                    out["sent_id"].append(int(sent_id))
+                    out["cui"].append(m.cui)
+                    out["concept_name"].append(m.concept_name)
+                    out["matched_term"].append(m.matched_term)
+                    out["normalized_term"].append(m.normalized_term)
+                    out["score"].append(float(m.score))
+                    out["annotations"].append(anns)
+                    out["start"].append(anns[0]["offset"] if anns else -1)
+                    out["end"].append(max(a["offset"] + len(a["text"]) for a in anns)
+                                      if anns else -1)
+                    out["sem_types"].append(list(m.sem_types))
+                    out["sources"].append(list(m.sources))
+            if out["doc_id"]:  # empty frames infer float64 cols, breaking Arrow
+                yield pd.DataFrame(out)
+
+    return sentences.mapInPandas(gen, schema=MENTIONS_SCHEMA)
+
+
+def dedup_redundant_mentions(mentions: DataFrame) -> DataFrame:
+    """F6: same concept + contained span -> keep widest
+    (DomainOntology.removeRedundantMentions:645-670). Window over
+    (doc_id, cui) — a single shuffle on the natural key."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id", "cui")
+    return (mentions
+            .withColumn("_w", F.collect_list(F.struct("start", "end")).over(w))
+            .where(~F.exists(
+                "_w", lambda o: (o["start"] <= F.col("start")) &
+                                (F.col("end") <= o["end"]) &
+                                ((o["end"] - o["start"]) > (F.col("end") - F.col("start")))))
+            .drop("_w"))
+
+
+def mention_triples(mentions: DataFrame) -> DataFrame:
+    """P6a: doc -mentions_concept-> CUI (distinct per document)."""
+    return (mentions
+            .select(F.col("doc_id").alias("subj"),
+                    F.lit("mentions_concept").alias("pred"),
+                    F.col("cui").alias("obj"),
+                    "doc_id")
+            .distinct())
+
+
+def isa_triples(spark: SparkSession, dico: Dictionary) -> DataFrame:
+    """P6b: CUI -isa-> CUI from the terminology's BROADER edges."""
+    rows = [(c, "isa", p, "") for c, p in dico.isa_edges]
+    return spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+
+
+def materialize_triples(mentions: DataFrame, spark: SparkSession,
+                        dico: Dictionary, include_isa: bool = True) -> DataFrame:
+    t = mention_triples(mentions)
+    if include_isa and dico.isa_edges:
+        t = t.unionByName(isa_triples(spark, dico))
+    return t
+
+
+def run_pipeline(spark: SparkSession, documents: DataFrame, dico: Dictionary,
+                 method: str | None = None, salt_buckets: int = 0,
+                 ) -> dict[str, DataFrame]:
+    """End-to-end P0->P6 (context stage P3 plugs in between detect and
+    materialize once enabled). Returns all intermediate frames."""
+    cfg = for_search_method(method)
+    dico_bc = spark.sparkContext.broadcast(dico)
+    docs = salt_documents(documents, salt_buckets)
+    sentences = split_sentences(docs)
+    mentions = detect_mentions(sentences, dico_bc, cfg)
+    triples = materialize_triples(mentions, spark, dico)
+    return {"documents": docs, "sentences": sentences,
+            "mentions": mentions, "triples": triples}

@@ -1,0 +1,543 @@
+"""Relational operator surface (SURVEY.md §2.J) + training-data-pipeline ops.
+
+Each entry pairs a Spark DataFrame program with the exact ANSI-SQL oracle
+DuckDB runs on the same parquet (driver contract: row-count + schema +
+order-insensitive value-hash). Conventions that keep the two sides
+hash-identical:
+- every computed column aliased the same on both sides;
+- floating aggregates rounded (sum->2dp, ratios->4dp) so engine-order
+  summation noise can't flip the hash;
+- counts/years cast to BIGINT on the Spark side (DuckDB defaults);
+- top-k queries carry total tiebreakers so LIMIT is deterministic.
+
+Scale notes are attached per query: broadcast hints where a dim is small,
+no collect anywhere, aggregates are partial-aggregated map-side by Catalyst.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> rows-only check (non-SQL-expressible)
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = QueryDef(spark=fn, oracle=oracle)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------- scans ----
+
+@_q("scan_filter_project", """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+  AND l_quantity < 25
+ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice
+""")
+def scan_filter_project(spark, sf):
+    # predicate + projection reach the parquet scan (PushedFilters/ReadSchema)
+    li = load(spark, sf, "lineitem")
+    return (li.where((F.col("l_shipdate") >= "1995-01-01")
+                     & (F.col("l_discount") > 0.05) & (F.col("l_quantity") < 25))
+            .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+            .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"))
+
+
+# ------------------------------------------------------------ aggregates ----
+
+@_q("agg_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                             AS sum_qty,
+       round(sum(l_extendedprice), 2)                        AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+       round(avg(l_quantity), 4)                             AS avg_qty,
+       round(avg(l_discount), 4)                             AS avg_disc,
+       count(*)                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def agg_pricing_summary(spark, sf):
+    # TPC-H Q1 shape: map-side partial agg -> single shuffle on 2 keys
+    li = load(spark, sf, "lineitem")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@_q("distinct_counts", """
+SELECT count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       count(*) AS n_orders
+FROM orders
+""")
+def distinct_counts(spark, sf):
+    o = load(spark, sf, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.countDistinct("o_orderstatus").alias("n_statuses"),
+                 F.count(F.lit(1)).alias("n_orders"))
+
+
+@_q("rollup_status_priority", """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""")
+def rollup_status_priority(spark, sf):
+    o = load(spark, sf, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n", "total")
+            .orderBy("status", "priority"))
+
+
+@_q("cube_nation_segment", """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(c_mktsegment, 'ALL') AS segment,
+       count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)
+ORDER BY nation, segment
+""")
+def cube_nation_segment(spark, sf):
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .cube("n_name", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+            .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+                    "n_cust", "avg_bal")
+            .orderBy("nation", "segment"))
+
+
+# ----------------------------------------------------------------- joins ----
+
+@_q("join_revenue_by_nation", """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY nation
+""")
+def join_revenue_by_nation(spark, sf):
+    # TPC-H Q5 shape: fact-fact shuffle joins on keys; nation/region are
+    # broadcast so only lineitem|x|orders|x|customer shuffle.
+    li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    c, n, r = (load(spark, sf, "customer"), load(spark, sf, "nation"),
+               load(spark, sf, "region"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .where(F.col("r_name") == "ASIA")
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("nation"))
+
+
+@_q("semi_join_active_customers", """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+ORDER BY c_custkey
+""")
+def semi_join_active_customers(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    big = o.where(F.col("o_totalprice") > 200000)
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+            .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@_q("anti_join_idle_customers", """
+SELECT c_mktsegment AS segment, count(*) AS n_idle
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+ORDER BY segment
+""")
+def anti_join_idle_customers(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_idle"))
+            .orderBy("segment"))
+
+
+@_q("broadcast_join_part_supplier", """
+SELECT p_brand AS brand, s_name AS supplier_name,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size <= 10
+GROUP BY p_brand, s_name
+ORDER BY brand, supplier_name
+""")
+def broadcast_join_part_supplier(spark, sf):
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").where(F.col("p_size") <= 10)
+    s = load(spark, sf, "supplier")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy(F.col("p_brand").alias("brand"),
+                     F.col("s_name").alias("supplier_name"))
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+            .orderBy("brand", "supplier_name"))
+
+
+# --------------------------------------------------------------- windows ----
+
+@_q("window_top_orders_per_customer", """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""")
+def window_top_orders_per_customer(spark, sf):
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+            .orderBy("o_custkey", "rn"))
+
+
+@_q("window_running_user_value", """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS prev_type
+FROM events
+ORDER BY user_id, event_id
+""")
+def window_running_user_value(spark, sf):
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select("user_id", "event_id",
+                     F.round(F.sum("value").over(
+                         w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+                     .alias("running_value"),
+                     F.lag("event_type").over(w).alias("prev_type"))
+            .orderBy("user_id", "event_id"))
+
+
+# ------------------------------------------------------- sorts / set ops ----
+
+@_q("topk_expensive_lineitems", """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+""")
+def topk_expensive_lineitems(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+            .limit(20))
+
+
+@_q("set_ops_customer_tiers", """
+WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     market AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'both' AS tier, count(*) AS n FROM (SELECT * FROM rich INTERSECT SELECT * FROM market) t
+UNION ALL
+SELECT 'rich_only' AS tier, count(*) AS n FROM (SELECT * FROM rich EXCEPT SELECT * FROM market) t
+UNION ALL
+SELECT 'all' AS tier, count(*) AS n FROM (SELECT * FROM rich UNION SELECT * FROM market) t
+ORDER BY tier
+""")
+def set_ops_customer_tiers(spark, sf):
+    c = load(spark, sf, "customer")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    market = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = rich.intersect(market).agg(F.count(F.lit(1)).alias("n")) \
+               .select(F.lit("both").alias("tier"), "n")
+    only = rich.exceptAll(market).distinct().agg(F.count(F.lit(1)).alias("n")) \
+               .select(F.lit("rich_only").alias("tier"), "n")
+    alln = rich.union(market).distinct().agg(F.count(F.lit(1)).alias("n")) \
+               .select(F.lit("all").alias("tier"), "n")
+    return both.unionByName(only).unionByName(alln).orderBy("tier")
+
+
+# ------------------------------------------------- scalar function suite ----
+
+@_q("string_functions", """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substr(p_name, 1, 10) AS name_prefix,
+       length(p_name) AS name_len,
+       concat(p_brand, ':', p_type) AS brand_type,
+       replace(p_type, ' ', '_') AS type_snake
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+""")
+def string_functions(spark, sf):
+    p = load(spark, sf, "part")
+    return (p.where(F.col("p_partkey") <= 200)
+            .select("p_partkey",
+                    F.upper("p_brand").alias("brand_upper"),
+                    F.substring("p_name", 1, 10).alias("name_prefix"),
+                    F.length("p_name").cast("long").alias("name_len"),
+                    F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+                    F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"))
+            .orderBy("p_partkey"))
+
+
+@_q("date_functions", """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS order_month,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1, 2
+ORDER BY order_year, order_month
+""")
+def date_functions(spark, sf):
+    o = load(spark, sf, "orders")
+    return (o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"),
+                      F.month("o_orderdate").cast("long").alias("order_month"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("order_year", "order_month"))
+
+
+@_q("case_math_functions", """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
+         AS discounted_revenue,
+       round(sum(sqrt(l_quantity)), 4) AS sum_sqrt_qty,
+       round(sum(abs(l_extendedprice - 1000.0)), 2) AS sum_abs_dev,
+       max(CAST(floor(l_quantity) AS BIGINT)) AS max_floor_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+def case_math_functions(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.sum(F.when(F.col("l_discount") > 0.05,
+                                      F.col("l_extendedprice")).otherwise(0.0)), 2)
+                 .alias("discounted_revenue"),
+                 F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt_qty"),
+                 F.round(F.sum(F.abs(F.col("l_extendedprice") - 1000.0)), 2)
+                 .alias("sum_abs_dev"),
+                 F.max(F.floor("l_quantity").cast("long")).alias("max_floor_qty"))
+            .orderBy("l_returnflag"))
+
+
+# ------------------------------------------- training-data pipeline ops ----
+
+@_q("dedup_exact_documents", """
+SELECT n_dups, count(*) AS n_groups
+FROM (SELECT md5(text) AS h, count(*) AS n_dups FROM documents GROUP BY md5(text)) t
+GROUP BY n_dups
+ORDER BY n_dups
+""")
+def dedup_exact_documents(spark, sf):
+    # exact dedup: hash-groupBy on content digest; at 100 TB this is the
+    # canonical single-shuffle dedup (hash is computed map-side, shuffle
+    # carries only the 32-byte digest + count)
+    d = load(spark, sf, "documents")
+    return (d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+            .agg(F.count(F.lit(1)).alias("n_dups"))
+            .groupBy("n_dups").agg(F.count(F.lit(1)).alias("n_groups"))
+            .orderBy("n_dups"))
+
+
+@_q("doc_token_stats", """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents
+WHERE length(trim(text)) > 0
+GROUP BY lang
+ORDER BY lang
+""")
+def doc_token_stats(spark, sf):
+    d = load(spark, sf, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (d.where(F.length(F.trim("text")) > 0)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(toks).cast("long").alias("total_tokens"),
+                 F.round(F.avg(toks), 4).alias("avg_tokens"),
+                 F.max(F.length("text")).cast("long").alias("max_chars"))
+            .orderBy("lang"))
+
+
+@_q("doc_quality_scores", """
+SELECT doc_id,
+       round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS alpha_ratio,
+       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS digit_ratio,
+       round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS punct_ratio,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+FROM documents
+WHERE length(text) > 0 AND doc_id <= 500
+ORDER BY doc_id
+""")
+def doc_quality_scores(spark, sf):
+    d = load(spark, sf, "documents")
+    ln = F.length("text").cast("double")
+
+    def ratio(keep_re):
+        return F.round(F.length(F.regexp_replace("text", keep_re, "")) / ln, 4)
+
+    return (d.where((F.length("text") > 0) & (F.col("doc_id") <= 500))
+            .select("doc_id",
+                    ratio("[^a-zA-Z]").alias("alpha_ratio"),
+                    ratio("[^0-9]").alias("digit_ratio"),
+                    ratio("[^.!?,;:]").alias("punct_ratio"),
+                    F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
+@_q("lang_id_heuristic", """
+SELECT guessed_lang, count(*) AS n
+FROM (
+  SELECT CASE
+    WHEN length(text) = 0 THEN 'unknown'
+    WHEN (length(text) - length(replace(lower(text), ' the ', '')))
+       + (length(text) - length(replace(lower(text), ' and ', ''))) > 0 THEN 'en'
+    WHEN (length(text) - length(replace(lower(text), ' der ', '')))
+       + (length(text) - length(replace(lower(text), ' und ', ''))) > 0 THEN 'de'
+    WHEN (length(text) - length(replace(lower(text), ' le ', '')))
+       + (length(text) - length(replace(lower(text), ' la ', ''))) > 0 THEN 'fr'
+    ELSE 'unknown' END AS guessed_lang
+  FROM documents) t
+GROUP BY guessed_lang
+ORDER BY guessed_lang
+""")
+def lang_id_heuristic(spark, sf):
+    # stopword-marker language ID; JVM-side string ops only (no UDF)
+    d = load(spark, sf, "documents")
+    low = F.lower(F.col("text"))
+
+    def hits(*words):
+        e = F.lit(0)
+        for w in words:
+            e = e + (F.length("text") - F.length(F.replace(low, F.lit(f" {w} "), F.lit("")))
+                     )
+        return e
+
+    guessed = (F.when(F.length("text") == 0, "unknown")
+               .when(hits("the", "and") > 0, "en")
+               .when(hits("der", "und") > 0, "de")
+               .when(hits("le", "la") > 0, "fr")
+               .otherwise("unknown"))
+    return (d.select(guessed.alias("guessed_lang"))
+            .groupBy("guessed_lang").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("guessed_lang"))
+
+
+@_q("ngram_shingles", """
+SELECT doc_id, shingle
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\W+') AS toks
+        FROM documents WHERE doc_id <= 50) t1
+) t2
+WHERE shingle <> '' ORDER BY doc_id, shingle
+""")
+def ngram_shingles(spark, sf):
+    # 3-gram shingling: the map side of MinHash dedup, JVM-side only
+    d = load(spark, sf, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\W+")
+    d = d.where(F.col("doc_id") <= 50).select("doc_id", toks.alias("toks"))
+    n = F.greatest(F.size("toks") - 2, F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                              F.element_at("toks", i + 1),
+                              F.element_at("toks", i + 2)))
+    return (d.select("doc_id", F.explode(shingles).alias("shingle"))
+            .where(F.col("shingle") != "")
+            .orderBy("doc_id", "shingle"))
+
+
+@_q("embedding_cosine_topk", """
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+     scored AS (
+       SELECT vec_id, label,
+              round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST((SELECT p FROM probe) AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST((SELECT p FROM probe) AS DOUBLE[]),
+                                             CAST((SELECT p FROM probe) AS DOUBLE[])))), 4)
+                AS cosine
+       FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id, label, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def embedding_cosine_topk(spark, sf):
+    # brute-force ANN baseline: JVM-side F.aggregate/zip_with dot products;
+    # the probe vector is a broadcast scalar (collected once, 1 row)
+    e = load(spark, sf, "embeddings")
+    probe = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    plit = F.array(*[F.lit(float(x)) for x in probe])
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(vec, plit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(F.zip_with(vec, vec, lambda a, b: a * b),
+                             F.lit(0.0), lambda acc, x: acc + x))
+    pn = float(sum(float(x) * float(x) for x in probe)) ** 0.5
+    return (e.where(F.col("vec_id") != 0)
+            .select("vec_id", "label",
+                    F.round(dot / (nrm * F.lit(pn)), 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id").limit(10))
