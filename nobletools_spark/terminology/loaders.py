@@ -1,0 +1,242 @@
+"""Terminology source loaders (SURVEY.md §2.A).
+
+- OBO (A3): `[Term]` stanza parser — id/name/synonym(+EXACT/NARROW/BROAD)/
+  def/is_a/alt_id, obsolete skip. Semantics per
+  ``util/ConceptImporter.loadOBO`` (ConceptImporter.java:196-349).
+- Tab-indented text (A5): indentation = hierarchy, ``|;,``-separated
+  synonyms, CUI/TUI token recognition (ConceptImporter.java:623-750).
+- RRF (A2): UMLS/NCI Meta Rich Release Format — MRCONSO/MRSTY/MRDEF/MRHIER
+  pipe-delimited files parsed as Spark DataFrames and folded into concept
+  records with groupBy/collect aggregations (ConceptImporter.java:780-1337).
+
+OBO and tab-text parse driver-side (vocabulary files are dictionary-scale,
+not corpus-scale); RRF — the only loader whose input can reach tens of GB —
+is Spark-native end to end: `spark.read.csv(sep='|')` scans parallelize and
+push column pruning into the file scan, and every fold is a hash aggregate.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+from pyspark.sql.window import Window
+
+_CUI = re.compile(r"CL?\d{6,7}")
+_TUI = re.compile(r"T\d{3}")
+_OBO_VAL = re.compile(r"\"(.*)\"\s*([A-Z_]*)\s*(.*)?\[.*\]")
+
+
+def load_obo(lines: Iterable[str]) -> tuple[list[dict], list[tuple[str, str]]]:
+    """Parse OBO stanzas -> (concept records, BROADER isa edges)."""
+    concepts: dict[str, dict] = {}
+    edges: list[tuple[str, str]] = []
+    cur: dict | None = None
+
+    def flush(c: dict | None):
+        if c is not None and c.get("cui"):
+            concepts[c["cui"]] = c
+
+    for raw in lines:
+        line = raw.rstrip("\n")
+        if line.strip() == "[Term]":
+            flush(cur)
+            cur = dict(cui="", name="", synonyms=[], sem_types=[],
+                       sources=[], terms=[], definitions=[], codes={})
+            continue
+        if cur is None:
+            continue
+        if ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key, val = key.strip(), val.strip()
+        if key == "id":
+            cur["cui"] = val
+        elif key == "name":
+            cur["name"] = val
+            cur["synonyms"].insert(0, val)
+            cur["terms"].append((val, "PT"))
+        elif key == "namespace":
+            cur["sem_types"].append(val)
+        elif key == "def":
+            m = _OBO_VAL.match(val)
+            cur["definitions"].append(m.group(1) if m else val)
+        elif re.fullmatch(r"(exact_|narrow_|broad_)?synonym", key):
+            m = _OBO_VAL.match(val)
+            text, form = (m.group(1), m.group(2)) if m else (val, "")
+            cur["synonyms"].append(text)
+            cur["terms"].append((text, form or "SY"))
+        elif key == "is_a":
+            tgt = val.split("!", 1)[0].strip()
+            if tgt:
+                edges.append((cur["cui"] or "", tgt))
+        elif key == "alt_id":
+            cur["codes"][val] = val
+        elif key == "is_obsolete" and val.lower() == "true":
+            cur = None
+    flush(cur)
+
+    # patch edge child ids recorded before the concept id line appeared
+    ids = set(concepts)
+    fixed = [(c, p) for c, p in edges if c in ids and p in ids]
+    return list(concepts.values()), fixed
+
+
+def load_tab_text(lines: Iterable[str]) -> tuple[list[dict], list[tuple[str, str]]]:
+    """Tab-indented terminology: depth = leading tabs; synonyms split on
+    ``|;,``; CUI tokens -> alt codes, TUI tokens -> semantic types."""
+    concepts: list[dict] = []
+    edges: list[tuple[str, str]] = []
+    stack: list[str] = []        # cui per depth
+    auto = 0
+
+    for raw in lines:
+        if not raw.strip() or raw.strip().startswith("#"):
+            continue
+        depth = len(raw) - len(raw.lstrip("\t"))
+        parts = [p.strip() for p in re.split(r"[|;,]", raw.strip()) if p.strip()]
+        if not parts:
+            continue
+        name = parts[0]
+        cui = ""
+        sem_types, synonyms = [], []
+        for tok in parts:
+            if _CUI.fullmatch(tok):
+                cui = cui or tok
+            elif _TUI.fullmatch(tok):
+                sem_types.append(tok)
+            else:
+                synonyms.append(tok)
+        if not cui:
+            auto += 1
+            cui = f"TX{auto:07d}"
+        concepts.append(dict(cui=cui, name=name, synonyms=synonyms,
+                             sem_types=sem_types, sources=["TEXT"],
+                             terms=[(name, "PT")], definitions=[], codes={}))
+        del stack[depth:]
+        if stack:
+            edges.append((cui, stack[-1]))
+        stack.append(cui)
+    return concepts, edges
+
+
+# ------------------------------------------------------------------- RRF ---
+
+MRCONSO_COLS = ["CUI", "LAT", "TS", "LUI", "STT", "SUI", "ISPREF", "AUI",
+                "SAUI", "SCUI", "SDUI", "SAB", "TTY", "CODE", "STR", "SRL",
+                "SUPPRESS", "CVF"]
+MRSTY_COLS = ["CUI", "TUI", "STN", "STY", "ATUI", "CVF"]
+MRDEF_COLS = ["CUI", "AUI", "ATUI", "SATUI", "SAB", "DEF", "SUPPRESS", "CVF"]
+MRHIER_COLS = ["CUI", "AUI", "CXN", "PAUI", "SAB", "RELA", "PTR", "HCD", "CVF"]
+MRSAB_COLS = ["VCUI", "RCUI", "VSAB", "RSAB", "SON", "SF", "SVER", "VSTART",
+              "VEND", "IMETA", "RMETA", "SLC", "SCC", "SRL", "TFR", "CFR",
+              "CXTY", "TTYL", "ATNL", "LAT", "CENC", "CURVER", "SABIN",
+              "SSN", "SCIT"]
+
+
+def read_rrf(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """One RRF file -> DataFrame. RRF rows end with a trailing '|' so the
+    raw split carries one empty tail column, dropped here."""
+    df = spark.read.csv(path, sep="|", header=False)
+    if not df.columns:  # empty file
+        schema = ST.StructType(
+            [ST.StructField(c, ST.StringType(), True) for c in cols])
+        return df.sparkSession.createDataFrame([], schema=schema)
+    sel = [F.col(f"_c{i}").alias(c) if i < len(df.columns)
+           else F.lit(None).cast("string").alias(c)
+           for i, c in enumerate(cols)]
+    return df.select(*sel)
+
+
+def load_rrf(spark: SparkSession, rrf_dir: str,
+             languages: tuple[str, ...] = ("ENG",),
+             source_filter: tuple[str, ...] | None = None,
+             suppress_filter: bool = True) -> dict[str, DataFrame]:
+    """A2: MRCONSO/MRSTY/MRDEF/MRHIER -> concept + hierarchy DataFrames.
+
+    Output `concepts` matches build.CONCEPTS_SCHEMA minus `_idx` (added by
+    the caller); `isa_edges(child_cui, parent_cui)` comes from MRHIER PAUI
+    links resolved through the AUI->CUI xref (ConceptImporter.java:1243-1337).
+    Every stage is a scan + filter + hash aggregate; nothing collects.
+    """
+    conso = read_rrf(spark, f"{rrf_dir}/MRCONSO.RRF", MRCONSO_COLS)
+    conso = conso.where(F.col("LAT").isin(list(languages)))
+    if suppress_filter:
+        # empty csv fields arrive as null
+        conso = conso.where(F.coalesce(F.col("SUPPRESS"), F.lit("")).isin("N", ""))
+    if source_filter:
+        conso = conso.where(F.col("SAB").isin(list(source_filter)))
+
+    # preferred-name priority per getPreferredName:870-903 folded into
+    # max_by: TS='P' & ISPREF='Y' first, then TTY PN > PT, then SUI order
+    pref_rank = (F.when((F.col("TS") == "P") & (F.col("ISPREF") == "Y"), 4)
+                 .when(F.col("TTY") == "PN", 3)
+                 .when(F.col("TTY") == "PT", 2)
+                 .otherwise(0))
+
+    grouped = (conso.groupBy("CUI").agg(
+        F.max_by("STR", pref_rank + F.when(F.col("SUI").isNotNull(), 0)).alias("name"),
+        F.array_distinct(F.collect_list("STR")).alias("synonyms"),
+        F.array_distinct(F.collect_list("SAB")).alias("sources"),
+        F.array_distinct(F.collect_list(F.struct(
+            F.col("STR").alias("text"), F.col("TTY").alias("form")))).alias("terms"),
+        F.array_distinct(F.collect_list(F.struct(
+            F.col("SAB").alias("source"), F.col("CODE").alias("code")))).alias("codes"),
+    ))
+
+    sty = (read_rrf(spark, f"{rrf_dir}/MRSTY.RRF", MRSTY_COLS)
+           .groupBy("CUI")
+           .agg(F.array_distinct(F.collect_list("STY")).alias("sem_types")))
+    try:
+        mrdef = (read_rrf(spark, f"{rrf_dir}/MRDEF.RRF", MRDEF_COLS)
+                 .groupBy("CUI")
+                 .agg(F.array_distinct(F.collect_list("DEF")).alias("definitions")))
+    except Exception:
+        mrdef = None
+
+    out = grouped.join(sty, "CUI", "left")
+    if mrdef is not None:
+        out = out.join(mrdef, "CUI", "left")
+    else:
+        out = out.withColumn("definitions", F.array().cast("array<string>"))
+    concepts = out.select(
+        F.col("CUI").alias("cui"), "name",
+        F.coalesce("synonyms", F.array().cast("array<string>")).alias("synonyms"),
+        F.coalesce("sem_types", F.array().cast("array<string>")).alias("sem_types"),
+        F.coalesce("sources", F.array().cast("array<string>")).alias("sources"),
+        "terms",
+        F.coalesce("definitions", F.array().cast("array<string>")).alias("definitions"),
+        "codes")
+
+    # MRHIER: PTR is the AUI path from root; the immediate parent is PAUI.
+    aui2cui = conso.select("AUI", F.col("CUI").alias("_cui")).distinct()
+    hier = read_rrf(spark, f"{rrf_dir}/MRHIER.RRF", MRHIER_COLS)
+    edges = (hier.where(F.col("PAUI").isNotNull() & (F.col("PAUI") != ""))
+             .join(aui2cui, hier.AUI == aui2cui.AUI)
+             .withColumnRenamed("_cui", "child_cui")
+             .drop(aui2cui.AUI)
+             .join(aui2cui.withColumnRenamed("_cui", "parent_cui")
+                   .withColumnRenamed("AUI", "PAUI2"),
+                   F.col("PAUI") == F.col("PAUI2"))
+             .select("child_cui", "parent_cui")
+             .where(F.col("child_cui") != F.col("parent_cui"))
+             .distinct())
+
+    # roots = heads of MRHIER paths (ConceptImporter.java:1331-1336)
+    path_head = F.split(F.col("PTR"), r"\.")[0]
+    roots = (hier.where(F.col("PTR").isNotNull() & (F.col("PTR") != ""))
+             .select(path_head.alias("AUI_head")).distinct()
+             .join(aui2cui, F.col("AUI_head") == aui2cui.AUI)
+             .select(F.col("_cui").alias("cui")).distinct())
+
+    return {"concepts": concepts, "isa_edges": edges, "roots": roots}
+
+
+def rrf_concepts_with_index(concepts: DataFrame) -> DataFrame:
+    """Attach the `_idx` insertion-order column build_tables expects; RRF
+    order = CUI order (the reference walks MRCONSO sequentially)."""
+    w = Window.orderBy("cui")
+    return concepts.withColumn("_idx", F.row_number().over(w).cast("long") - 1)
