@@ -158,6 +158,89 @@ def detect_mentions(sentences: DataFrame, dico_bc, cfg: SearchConfig | None = No
     return sentences.mapInPandas(gen, schema=MENTIONS_SCHEMA)
 
 
+ANNOTATED_SCHEMA = ST.StructType(
+    MENTIONS_SCHEMA.fields +
+    [ST.StructField("modifiers",
+                    ST.MapType(ST.StringType(), ST.StringType()), False)])
+
+
+def annotate_documents(sentences: DataFrame, dico_bc, context_bc=None,
+                       cfg: SearchConfig | None = None,
+                       deid_scrub: bool = True,
+                       negex: bool = False) -> DataFrame:
+    """P2+P3 fused: per document (groupBy doc_id, applyInPandas), run the
+    matcher, then the acronym doc-pass (F1/F2 — the only doc-scoped state),
+    then ConText modifier assignment (F3/F4) or NegEx (F5) per sentence.
+
+    This is the reference's per-sentence chain (NobleCoder.process:312-336:
+    terminology -> AcronymDetector -> ConText) lifted onto Spark: one
+    shuffle on doc_id buys document-ordered sentence processing; documents
+    parallelize across executors. Dictionaries ride broadcasts.
+    """
+    cfg = cfg or for_search_method(None)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..context.acronyms import AcronymState
+        from ..context.context import ConTextEngine
+        from ..context import negex as NX
+
+        dico: Dictionary = dico_bc.value if hasattr(dico_bc, "value") else dico_bc
+        engine = None
+        if context_bc is not None:
+            cdico = context_bc.value if hasattr(context_bc, "value") else context_bc
+            engine = ConTextEngine(cdico)
+
+        out: dict[str, list] = {f.name: [] for f in ANNOTATED_SCHEMA.fields}
+        pdf = pdf.sort_values(["doc_id", "sent_id"])
+        state: AcronymState | None = None
+        cur_doc = None
+        for doc_id, sent_id, text, offset in zip(
+                pdf["doc_id"], pdf["sent_id"], pdf["text"], pdf["offset"]):
+            if doc_id != cur_doc:
+                cur_doc = doc_id
+                state = AcronymState(dico)  # cleared per doc (:273)
+            stext = SP.filter_deid_tags(text) if deid_scrub else text
+            mentions = process_sentence(stext, dico, cfg)
+            mentions = state.process(stext, mentions)
+
+            mods_per_mention: list[dict[str, str]]
+            if engine is not None:
+                slots = engine.process(stext, mentions)
+                mods_per_mention = [
+                    {t: ",".join(m.value for m in lst)
+                     for t, lst in slot.items()}
+                    for slot in slots]
+            elif negex:
+                nmods = NX.process(stext, mentions)
+                mods_per_mention = [
+                    {m.type: m.value for m in lst} for lst in nmods]
+            else:
+                mods_per_mention = [{} for _ in mentions]
+
+            for m, mods in zip(mentions, mods_per_mention):
+                anns = [{"text": t, "offset": int(offset) + o}
+                        for t, o in m.annotations]
+                out["doc_id"].append(doc_id)
+                out["sent_id"].append(int(sent_id))
+                out["cui"].append(m.cui)
+                out["concept_name"].append(m.concept_name)
+                out["matched_term"].append(m.matched_term)
+                out["normalized_term"].append(m.normalized_term)
+                out["score"].append(float(m.score))
+                out["annotations"].append(anns)
+                out["start"].append(anns[0]["offset"] if anns else -1)
+                out["end"].append(max(a["offset"] + len(a["text"]) for a in anns)
+                                  if anns else -1)
+                out["sem_types"].append(list(m.sem_types))
+                out["sources"].append(list(m.sources))
+                out["modifiers"].append(mods)
+        return pd.DataFrame(out) if out["doc_id"] else pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in ANNOTATED_SCHEMA.fields})
+
+    return (sentences.groupBy("doc_id")
+            .applyInPandas(run, schema=ANNOTATED_SCHEMA))
+
+
 def dedup_redundant_mentions(mentions: DataFrame) -> DataFrame:
     """F6: same concept + contained span -> keep widest
     (DomainOntology.removeRedundantMentions:645-670). Window over
@@ -199,14 +282,20 @@ def materialize_triples(mentions: DataFrame, spark: SparkSession,
 
 def run_pipeline(spark: SparkSession, documents: DataFrame, dico: Dictionary,
                  method: str | None = None, salt_buckets: int = 0,
+                 context_dico: Dictionary | None = None,
                  ) -> dict[str, DataFrame]:
-    """End-to-end P0->P6 (context stage P3 plugs in between detect and
-    materialize once enabled). Returns all intermediate frames."""
+    """End-to-end P0->P6. Without a modifier terminology the match stage is
+    fully narrow (mapInPandas); with one, the fused doc-level annotate pass
+    (P2+P3) runs instead — one shuffle on doc_id. Returns all frames."""
     cfg = for_search_method(method)
     dico_bc = spark.sparkContext.broadcast(dico)
     docs = salt_documents(documents, salt_buckets)
     sentences = split_sentences(docs)
-    mentions = detect_mentions(sentences, dico_bc, cfg)
+    if context_dico is not None:
+        context_bc = spark.sparkContext.broadcast(context_dico)
+        mentions = annotate_documents(sentences, dico_bc, context_bc, cfg)
+    else:
+        mentions = detect_mentions(sentences, dico_bc, cfg)
     triples = materialize_triples(mentions, spark, dico)
     return {"documents": docs, "sentences": sentences,
             "mentions": mentions, "triples": triples}

@@ -47,6 +47,15 @@ class ConceptMeta:
     terms: tuple[tuple[str, str], ...] = ()
     definitions: tuple[str, ...] = ()
     codes: tuple[tuple[str, str], ...] = ()  # (source, code)
+    # free-form properties (Concept.java properties map) — carries the
+    # ConText hasActionEn/windowSize/hasTermination/... metadata (F3/F4)
+    props: tuple[tuple[str, str], ...] = ()
+
+    def get_prop(self, key: str) -> str | None:
+        for k, v in self.props:
+            if k == key:
+                return v
+        return None
 
     def single_word_synonyms_desc(self) -> tuple[str, ...]:
         """TreeSet(reverseOrder) of single-word synonyms
@@ -80,6 +89,16 @@ class Dictionary:
     build_config: SearchConfig = field(default_factory=SearchConfig)
 
     _regex_compiled: list | None = None
+    _parents: dict[str, tuple[str, ...]] | None = None
+
+    def parents_of(self, cui: str) -> tuple[str, ...]:
+        """BROADER parents from the isa edge list (memoized)."""
+        if self._parents is None:
+            p: dict[str, list[str]] = {}
+            for c, par in self.isa_edges:
+                p.setdefault(c, []).append(par)
+            self._parents = {k: tuple(v) for k, v in p.items()}
+        return self._parents.get(cui, ())
 
     def compiled_regexes(self):
         if self._regex_compiled is None:
@@ -99,6 +118,7 @@ class Dictionary:
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_regex_compiled"] = None  # compiled patterns re-made per executor
+        state["_parents"] = None
         return state
 
 
@@ -148,6 +168,7 @@ def build_dictionary(concepts: list[dict | ConceptMeta],
             terms=tuple((t[0], t[1]) for t in c.get("terms", ())),
             definitions=tuple(c.get("definitions", ())),
             codes=tuple((k, v) for k, v in dict(c.get("codes", {})).items()),
+            props=tuple((k, v) for k, v in dict(c.get("props", {})).items()),
         )
         if meta.cui in d.concepts:
             continue
