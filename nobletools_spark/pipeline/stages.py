@@ -273,10 +273,28 @@ def isa_triples(spark: SparkSession, dico: Dictionary) -> DataFrame:
 
 
 def materialize_triples(mentions: DataFrame, spark: SparkSession,
-                        dico: Dictionary, include_isa: bool = True) -> DataFrame:
+                        dico: Dictionary, include_isa: bool = True,
+                        canonical: DataFrame | None = None) -> DataFrame:
+    """P5+P6: optionally rewrite mention CUIs through the canonical map
+    (connected components over synonym/xref edges, graph.canonicalize)
+    before emitting doc->mentions_concept->CUI and CUI->isa->CUI triples."""
+    if canonical is not None:
+        from ..graph.canonicalize import canonicalize_mentions
+        mentions = canonicalize_mentions(mentions, canonical)
     t = mention_triples(mentions)
     if include_isa and dico.isa_edges:
-        t = t.unionByName(isa_triples(spark, dico))
+        isa = isa_triples(spark, dico)
+        if canonical is not None:
+            cmap = F.broadcast(canonical)
+            isa = (isa.join(cmap.withColumnRenamed("cui", "subj"), "subj", "left")
+                   .withColumn("subj", F.coalesce("canonical_cui", "subj"))
+                   .drop("canonical_cui")
+                   .join(cmap.withColumnRenamed("cui", "obj"), "obj", "left")
+                   .withColumn("obj", F.coalesce("canonical_cui", "obj"))
+                   .drop("canonical_cui")
+                   .where(F.col("subj") != F.col("obj"))
+                   .select("subj", "pred", "obj", "doc_id").distinct())
+        t = t.unionByName(isa)
     return t
 
 
