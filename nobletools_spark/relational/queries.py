@@ -541,3 +541,122 @@ def embedding_cosine_topk(spark, sf):
             .select("vec_id", "label",
                     F.round(dot / (nrm * F.lit(pn)), 4).alias("cosine"))
             .orderBy(F.desc("cosine"), "vec_id").limit(10))
+
+
+# ----------------------------------- dedup / similarity / multimodal ops ----
+# (implementations in nobletools_spark.textdata; registered here so the
+# driver's DuckDB oracle exercises the SQL-expressible ones)
+
+@_q("jaccard_neardup_pairs", """
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\W+') toks
+           FROM documents),
+sh AS (SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(toks)-2,0)+1),
+           i -> concat(toks[i],' ',toks[i+1],' ',toks[i+2]))) s
+       FROM d),
+s2 AS (SELECT DISTINCT doc_id, s FROM sh WHERE s <> ''),
+p AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM s2 a
+      JOIN s2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+z AS (SELECT doc_id, count(*) n FROM s2 GROUP BY 1)
+SELECT p.a, p.b, round(i*1.0/(za.n+zb.n-i), 4) AS jaccard
+FROM p JOIN z za ON p.a = za.doc_id JOIN z zb ON p.b = zb.doc_id
+WHERE i*1.0/(za.n+zb.n-i) >= 0.8
+ORDER BY a, b
+""")
+def jaccard_neardup_pairs(spark, sf):
+    # exact n-gram Jaccard via inverted-index join (the oracle twin of the
+    # MinHash/LSH path); shuffle keys on shingle
+    from ..textdata.dedup import exact_jaccard_pairs
+    d = load(spark, sf, "documents")
+    return (exact_jaccard_pairs(d, threshold=0.8)
+            .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("a", "b"))
+
+
+@_q("minhash_neardup_pairs", None)  # xxhash64 not reproducible in DuckDB;
+def minhash_neardup_pairs(spark, sf):  # equality to the exact pairs is
+    # pinned in tests/test_textdata.py (LSH recall check)
+    from ..textdata.dedup import minhash_dup_pairs
+    d = load(spark, sf, "documents")
+    return (minhash_dup_pairs(d, threshold=0.8)
+            .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("a", "b"))
+
+
+@_q("simhash_neardup_pairs", None)
+def simhash_neardup_pairs(spark, sf):
+    from ..textdata.dedup import simhash_neardup_pairs as impl
+    d = load(spark, sf, "documents")
+    return impl(d, max_hamming=3).orderBy("a", "b")
+
+
+@_q("embedding_neardup_pairs", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v,b.v) /
+             (sqrt(list_dot_product(a.v,a.v)) *
+              sqrt(list_dot_product(b.v,b.v))), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v,b.v) /
+      (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b.v,b.v)))
+      >= 0.4
+ORDER BY a, b
+""")
+def embedding_neardup_pairs(spark, sf):
+    # brute-force cosine near-dup baseline (oracle-checked); the LSH
+    # variant below is the scale path
+    from ..textdata.dedup import embedding_neardup_pairs as impl
+    e = load(spark, sf, "embeddings")
+    return impl(e, threshold=0.4).orderBy("a", "b")
+
+
+@_q("embedding_ann_lsh_pairs", None)  # probabilistic recall: rows-only
+def embedding_ann_lsh_pairs(spark, sf):
+    from ..textdata.dedup import embedding_lsh_neardup_pairs as impl
+    e = load(spark, sf, "embeddings")
+    return impl(e, threshold=0.4).orderBy("a", "b")
+
+
+@_q("token_counts_bpe", """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens,
+       length(text) AS chars
+FROM documents ORDER BY doc_id
+""")
+def token_counts_bpe(spark, sf):
+    from ..textdata.analysis import token_counts
+    d = load(spark, sf, "documents")
+    return token_counts(d).orderBy("doc_id")
+
+
+@_q("doc_fingerprint_groups", None)  # xxhash64 sketch: rows-only
+def doc_fingerprint_groups(spark, sf):
+    from ..textdata.analysis import fingerprint_dup_groups
+    d = load(spark, sf, "documents")
+    return fingerprint_dup_groups(d).orderBy("fingerprint")
+
+
+@_q("media_decode_dims", None)  # binary decode plumbing: rows-only
+def media_decode_dims(spark, sf):
+    from ..pipeline.documents import interleave_flat_documents
+    from ..textdata.multimodal import decode_images, media_table
+    flat = load(spark, sf, "documents")
+    media = media_table(interleave_flat_documents(flat))
+    return decode_images(media).orderBy("doc_id", "media_ref")
+
+
+@_q("media_feature_vectors", None)
+def media_feature_vectors(spark, sf):
+    from ..pipeline.documents import interleave_flat_documents
+    from ..textdata.multimodal import media_features, media_table
+    flat = load(spark, sf, "documents")
+    media = media_table(interleave_flat_documents(flat))
+    return (media_features(media)
+            .select("doc_id", "media_ref",
+                    F.size("embedding").alias("dim"),
+                    F.round(F.aggregate(
+                        "embedding", F.lit(0.0),
+                        lambda a, x: a + x.cast("double")), 4).alias("sum"))
+            .orderBy("doc_id", "media_ref"))

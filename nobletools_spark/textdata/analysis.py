@@ -1,0 +1,77 @@
+"""Text-analysis operators: token counting, fingerprinting, quality,
+language ID. All JVM-side column expressions (no Python in the hot path);
+the queries module exposes the oracle-checked variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenization: word pieces OR single non-space punctuation —
+# the standard byte-pair-encoding pre-split shape (GPT-2-style), counted
+# JVM-side via regexp_extract_all.
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> (doc_id, ws_tokens, bpe_tokens, chars): whitespace token count
+    plus BPE-style piece count."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return df.select(
+        "doc_id",
+        F.when(F.length(F.trim(text_col)) == 0, 0).otherwise(ws)
+        .cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.length(text_col).cast("long").alias("chars"))
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text",
+                     k: int = 16, keep: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: hash every k-char window,
+    keep the ``keep`` smallest hashes (a deterministic sketch robust to
+    local edits; Schleimer et al., SIGMOD 2003). The window hash is
+    xxhash64 over the substring — computed as one JVM transform over an
+    index sequence, no Python and no explode."""
+    n = F.length(text_col) - (k - 1)
+    # sequence(1, 0) would DESCEND; emit an empty index list for short docs
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+           .otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(k))))
+    return df.select(
+        "doc_id", F.slice(F.array_sort(hashes), 1, keep).alias("fingerprint"))
+
+
+def fingerprint_dup_groups(df: DataFrame, text_col: str = "text",
+                           k: int = 16, keep: int = 4) -> DataFrame:
+    """Group documents by identical fingerprint sketch — the cheap
+    near-dup pre-filter (hash-groupBy on a 32-byte key at any scale)."""
+    fp = doc_fingerprints(df, text_col, k, keep)
+    return (fp.groupBy(F.to_json("fingerprint").alias("fingerprint"))
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") > 1))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/alpha/digit/punct/stopword-ratio quality features."""
+    ln = F.length(text_col).cast("double")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    stop_hits = F.size(F.filter(
+        toks, lambda t: t.isin("the", "a", "an", "and", "or", "of", "to",
+                               "in", "is", "was")))
+
+    def ratio(keep_re):
+        return F.round(
+            F.length(F.regexp_replace(text_col, keep_re, "")) / ln, 4)
+
+    return (df.where(ln > 0)
+            .select("doc_id",
+                    ratio("[^a-zA-Z]").alias("alpha_ratio"),
+                    ratio("[^0-9]").alias("digit_ratio"),
+                    ratio("[^.!?,;:]").alias("punct_ratio"),
+                    F.round(stop_hits / F.size(toks), 4).alias("stop_ratio"),
+                    F.size(toks).cast("long").alias("n_tokens")))

@@ -1,0 +1,220 @@
+"""Training-data operator tests: MinHash/LSH + SimHash + exact Jaccard
+dedup, embedding near-dup (brute vs LSH), fingerprints, token counts,
+multimodal plumbing. DuckDB is used in-test as the oracle for the
+SQL-expressible ops."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nobletools_spark.textdata import analysis as A
+from nobletools_spark.textdata import dedup as D
+from nobletools_spark.textdata import multimodal as M
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def shingled(spark, docs):
+    return D.shingle_array(docs).cache()
+
+
+class TestMinHash:
+    def test_shingles_match_python(self, spark):
+        df = spark.createDataFrame([(1, "a b c d"), (2, "x y")],
+                                   "doc_id long, text string")
+        got = {r.doc_id: sorted(r.shingles)
+               for r in D.shingle_array(df).collect()}
+        assert got == {1: ["a b c", "b c d"], 2: []}
+
+    def test_identical_docs_identical_signatures(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "completely different text with other words entirely")],
+            "doc_id long, text string")
+        sig = {r.doc_id: tuple(r.sig) for r in
+               D.minhash_signatures(D.shingle_array(df)).collect()}
+        assert sig[1] == sig[2] != sig[3]
+        assert len(sig[1]) == D.DEFAULT_NUM_HASHES
+
+    def test_lsh_finds_planted_dups_and_verify_filters(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = spark.createDataFrame(
+            [(1, base), (2, base),                       # exact dup
+             (3, base + " extra"),                        # near dup
+             (4, "unrelated words that share nothing at all here")],
+            "doc_id long, text string")
+        pairs = {(r.a, r.b): r.jaccard
+                 for r in D.minhash_dup_pairs(df, threshold=0.5).collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+        assert not any(4 in p for p in pairs)
+
+    def test_lsh_recall_vs_exact_on_testdata(self, spark, docs, shingled):
+        exact = {(r.a, r.b) for r in
+                 D.exact_jaccard_pairs(docs, threshold=0.8).collect()}
+        lsh = {(r.a, r.b) for r in
+               D.minhash_dup_pairs(docs, threshold=0.8).collect()}
+        assert exact, "testdata should contain planted near-dups"
+        # LSH+verify returns a subset of the exact pairs by construction;
+        # at J>=0.8 with 64 hashes / 16 bands recall is ~1 — pin equality
+        assert lsh == exact
+
+    def test_exact_jaccard_matches_duckdb(self, spark, docs):
+        got = sorted((r.a, r.b, round(r.jaccard, 4))
+                     for r in D.exact_jaccard_pairs(docs, threshold=0.8).collect())
+        want = sorted(duckdb.sql(f"""
+            WITH d AS (SELECT doc_id,
+                              string_split_regex(lower(trim(text)), '\\W+') toks
+                       FROM '{SF}/documents.parquet'),
+            sh AS (SELECT doc_id, unnest(list_transform(
+                       range(1, greatest(len(toks)-2,0)+1),
+                       i -> concat(toks[i],' ',toks[i+1],' ',toks[i+2]))) s
+                   FROM d),
+            s2 AS (SELECT DISTINCT doc_id, s FROM sh WHERE s <> ''),
+            p AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM s2 a
+                  JOIN s2 b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+            z AS (SELECT doc_id, count(*) n FROM s2 GROUP BY 1)
+            SELECT p.a, p.b, round(i*1.0/(za.n+zb.n-i), 4) j
+            FROM p JOIN z za ON p.a=za.doc_id JOIN z zb ON p.b=zb.doc_id
+            WHERE i*1.0/(za.n+zb.n-i) >= 0.8""").fetchall())
+        assert [(a, b, float(j)) for a, b, j in got] == \
+            [(a, b, float(j)) for a, b, j in want]
+
+
+class TestSimHash:
+    def test_identical_zero_hamming(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two three four"), (2, "one two three four"),
+             (3, "five six seven eight")],
+            "doc_id long, text string")
+        pairs = {(r.a, r.b): r.hamming
+                 for r in D.simhash_neardup_pairs(df).collect()}
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) not in pairs
+
+    def test_near_text_small_hamming(self, spark, docs):
+        pairs = D.simhash_neardup_pairs(docs, max_hamming=6).collect()
+        assert pairs  # planted near-dups surface
+        assert all(r.hamming <= 6 for r in pairs)
+
+
+class TestEmbeddingNearDup:
+    def test_lsh_subset_of_brute(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        brute = {(r.a, r.b) for r in
+                 D.embedding_neardup_pairs(emb, threshold=0.4).collect()}
+        lsh = {(r.a, r.b) for r in
+               D.embedding_lsh_neardup_pairs(emb, threshold=0.4).collect()}
+        assert lsh <= brute
+        assert brute  # pairs exist at this threshold
+
+    def test_planted_duplicate_found_by_lsh(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+        dup = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+        both = emb.unionByName(dup)
+        lsh = {(r.a, r.b): r.cosine for r in
+               D.embedding_lsh_neardup_pairs(both, threshold=0.99).collect()}
+        assert len(lsh) >= 50  # every vector pairs with its clone
+        assert all(c >= 0.99 for c in lsh.values())
+
+    def test_brute_matches_duckdb(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        got = sorted((r.a, r.b, r.cosine) for r in
+                     D.embedding_neardup_pairs(emb, threshold=0.4).collect())
+        want = sorted(duckdb.sql(f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                       FROM '{SF}/embeddings.parquet')
+            SELECT a.vec_id, b.vec_id,
+                   round(list_dot_product(a.v,b.v) /
+                         (sqrt(list_dot_product(a.v,a.v)) *
+                          sqrt(list_dot_product(b.v,b.v))), 4) c
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v,b.v) /
+                  (sqrt(list_dot_product(a.v,a.v)) *
+                   sqrt(list_dot_product(b.v,b.v))) >= 0.4""").fetchall())
+        assert [(a, b, float(c)) for a, b, c in got] == \
+            [(a, b, float(c)) for a, b, c in want]
+
+
+class TestAnalysis:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello, world! It's 2024."), (2, ""), (3, "   ")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.ws_tokens, r.bpe_tokens)
+               for r in A.token_counts(df).collect()}
+        # BPE-ish: Hello , world ! It ' s 2024 . = 9 pieces
+        assert got[1] == (4, 9)
+        assert got[2] == (0, 0) and got[3] == (0, 0)
+
+    def test_fingerprint_stable_and_distinct(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a" * 100), (2, "a" * 100), (3, "b" * 100), (4, "short")],
+            "doc_id long, text string")
+        fp = {r.doc_id: tuple(r.fingerprint)
+              for r in A.doc_fingerprints(df).collect()}
+        assert fp[1] == fp[2] != fp[3]
+        assert fp[4] == ()  # shorter than window k
+        groups = A.fingerprint_dup_groups(df).collect()
+        assert any(sorted(g.doc_ids) == [1, 2] for g in groups)
+
+    def test_quality_scores_ranges(self, spark, docs):
+        q = A.quality_scores(docs).collect()
+        assert q
+        for r in q:
+            for c in ("alpha_ratio", "digit_ratio", "punct_ratio",
+                      "stop_ratio"):
+                assert 0.0 <= getattr(r, c) <= 1.0
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        from nobletools_spark.pipeline.documents import generate_documents
+        docs = generate_documents(spark, 20, seed=9, partitions=2)
+        return M.media_table(docs).cache()
+
+    def test_media_table_shape(self, media):
+        rows = media.collect()
+        assert rows
+        for r in rows:
+            assert r.kind in ("image", "table")
+            assert r.media_ref.startswith("media://")
+            assert r.content is not None and len(r.content) > 0
+
+    def test_decode_deterministic(self, media):
+        d1 = {r.media_ref: (r.width, r.height, r.channels)
+              for r in M.decode_images(media).collect()}
+        d2 = {r.media_ref: (r.width, r.height, r.channels)
+              for r in M.decode_images(media).collect()}
+        assert d1 == d2 and d1
+        for w, h, c in d1.values():
+            assert 64 <= w < 256 and 64 <= h < 256 and 1 <= c <= 3
+
+    def test_features_shape(self, media):
+        feats = M.media_features(media).collect()
+        assert feats
+        for r in feats:
+            assert len(r.embedding) == M.FEATURE_DIM
+            assert all(-0.5 <= x <= 0.5 for x in r.embedding)
+
+    def test_frame_sampling(self, spark):
+        media = spark.createDataFrame(
+            [("d1", "media://d1/0", "video", None, {"duration_ms": "3500"}),
+             ("d2", "media://d2/0", "video", None, {}),
+             ("d3", "media://d3/0", "image", None, {})],
+            schema=M.MEDIA_SCHEMA)
+        frames = M.sample_frames(media, every_ms=1000, max_frames=8).collect()
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r.doc_id, []).append(r.ts_ms)
+        assert sorted(by_doc["d1"]) == [0, 1000, 2000, 3000]
+        assert "d3" not in by_doc          # images don't produce frames
+        assert 1 <= len(by_doc["d2"]) <= 8  # stub duration bounded
