@@ -660,3 +660,90 @@ def media_feature_vectors(spark, sf):
                         "embedding", F.lit(0.0),
                         lambda a, x: a + x.cast("double")), 4).alias("sum"))
             .orderBy("doc_id", "media_ref"))
+
+
+# ------------------------------------------------ SQL-surface operators ----
+
+@_q("grouping_sets_revenue", """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+""")
+def grouping_sets_revenue(spark, sf):
+    # exercised through spark.sql to cover the SQL surface (same plan as
+    # the DataFrame rollup/cube family: one Expand + hash aggregate)
+    load(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+
+
+@_q("exists_subquery_returned_parts", """
+SELECT p_brand AS brand, count(*) AS n_parts
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_returnflag = 'R')
+GROUP BY p_brand
+ORDER BY brand
+""")
+def exists_subquery_returned_parts(spark, sf):
+    # correlated EXISTS -> Catalyst plans a left-semi hash join
+    load(spark, sf, "part").createOrReplaceTempView("part_ex")
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_ex")
+    return spark.sql("""
+        SELECT p_brand AS brand, count(*) AS n_parts
+        FROM part_ex p
+        WHERE EXISTS (SELECT 1 FROM lineitem_ex l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY p_brand
+        ORDER BY brand""")
+
+
+@_q("pivot_status_by_segment", """
+SELECT c_mktsegment AS segment,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS f,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS o,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS p
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY segment
+""")
+def pivot_status_by_segment(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .count()
+            .na.fill(0)
+            .select("segment", F.col("F").alias("f"), F.col("O").alias("o"),
+                    F.col("P").alias("p"))
+            .orderBy("segment"))
+
+
+@_q("approx_distinct_users", None)  # HLL sketches are engine-specific
+def approx_distinct_users(spark, sf):
+    e = load(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users"))
+            .orderBy("event_type"))
+
+
+@_q("values_inline_union", """
+SELECT tier, lo, hi FROM (VALUES ('bronze', 0, 1000), ('silver', 1000, 5000),
+                                 ('gold', 5000, 10000)) AS t(tier, lo, hi)
+ORDER BY tier
+""")
+def values_inline_union(spark, sf):
+    return (spark.createDataFrame(
+        [("bronze", 0, 1000), ("silver", 1000, 5000), ("gold", 5000, 10000)],
+        "tier string, lo int, hi int").orderBy("tier")
+        .select("tier", F.col("lo").cast("int"), F.col("hi").cast("int")))

@@ -1,0 +1,97 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.J) — streaming here maps
+document micro-batches onto the SAME stage functions via ``foreachBatch``:
+sentences are independent and document state (the acronym pass) is
+confined to a groupBy(doc_id) inside one micro-batch, so no custom
+streaming state is needed. Event analytics use native watermark +
+tumbling/sliding windows.
+
+Scale posture: a streaming KG build at 10^12-doc scale is this exact
+topology — file/Kafka source partitions -> the batch stages per
+micro-batch -> idempotent sink writes keyed by (doc_id, cui, start) so
+replays upsert instead of duplicating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import for_search_method
+from ..pipeline.documents import DOCUMENTS_SCHEMA
+from ..pipeline.stages import (annotate_documents, detect_mentions,
+                               split_sentences)
+
+
+def read_document_stream(spark: SparkSession, path: str,
+                         max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream of interleaved documents (one parquet per
+    micro-batch bundle). ``maxFilesPerTrigger`` bounds batch size."""
+    return (spark.readStream
+            .schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(path))
+
+
+def mention_stream_writer(docs_stream: DataFrame, dico_bc, sink_fn,
+                          context_bc=None, method: str | None = None,
+                          checkpoint_dir: str | None = None):
+    """documents stream -> mentions per micro-batch via foreachBatch.
+
+    ``sink_fn(batch_df, batch_id)`` receives the mention DataFrame —
+    idempotency is the sink's contract (micro-batch replays carry the same
+    batch_id). Returns the unstarted DataStreamWriter.
+    """
+    cfg = for_search_method(method)
+
+    def run_batch(batch_df: DataFrame, batch_id: int):
+        sentences = split_sentences(batch_df)
+        if context_bc is not None:
+            mentions = annotate_documents(sentences, dico_bc, context_bc, cfg)
+        else:
+            mentions = detect_mentions(sentences, dico_bc, cfg)
+        sink_fn(mentions, batch_id)
+
+    writer = docs_stream.writeStream.foreachBatch(run_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def windowed_event_counts(events: DataFrame,
+                          window: str = "1 minute",
+                          slide: str | None = None,
+                          watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling (or sliding) window aggregation over the
+    events stream: late rows beyond the watermark are dropped, state is
+    bounded. Works identically on a batch DataFrame (no watermark)."""
+    is_stream = events.isStreaming
+    if is_stream:
+        # watermarks require TIMESTAMP (not TIMESTAMP_NTZ)
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        events = events.withWatermark("ts", watermark)
+    win = (F.window("ts", window, slide) if slide
+           else F.window("ts", window))
+    return (events.groupBy(win.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "total_value"))
+
+
+def sessionized_user_activity(events: DataFrame,
+                              gap: str = "5 minutes",
+                              watermark: str = "10 minutes") -> DataFrame:
+    """Session windows per user (gap-based), watermarked on the stream."""
+    is_stream = events.isStreaming
+    if is_stream:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        events = events.withWatermark("ts", watermark)
+    return (events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "user_id", "n_events", "total_value"))

@@ -1,0 +1,109 @@
+"""Structured Streaming tests: document micro-batches through the match
+stages (foreachBatch), watermarked tumbling windows, session windows.
+Uses file sources with availableNow + memory-collected sinks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nobletools_spark.pipeline.documents import generate_documents
+from nobletools_spark.pipeline.stages import detect_mentions, split_sentences
+from nobletools_spark.streaming.pipeline import (mention_stream_writer,
+                                                 read_document_stream,
+                                                 sessionized_user_activity,
+                                                 windowed_event_counts)
+from nobletools_spark.terminology.fixture import fixture_dictionary
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestDocumentStream:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        docs = generate_documents(spark, 24, seed=13, partitions=4)
+        src = str(tmp_path / "src")
+        docs.write.mode("overwrite").parquet(src)
+
+        dico_bc = spark.sparkContext.broadcast(fixture_dictionary())
+        collected = []
+
+        def sink(batch_df, batch_id):
+            collected.append(
+                {(r.doc_id, r.sent_id, r.cui, r.start, r.end)
+                 for r in batch_df.collect()})
+
+        stream = read_document_stream(spark, src, max_files_per_trigger=2)
+        q = (mention_stream_writer(stream, dico_bc, sink,
+                                   checkpoint_dir=str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        batch = detect_mentions(
+            split_sentences(spark.read.parquet(src)), dico_bc)
+        expected = {(r.doc_id, r.sent_id, r.cui, r.start, r.end)
+                    for r in batch.collect()}
+        got = set().union(*collected) if collected else set()
+        assert got == expected
+        assert len(collected) >= 2  # really micro-batched
+
+    def test_stream_checkpoint_no_reprocess(self, spark, tmp_path):
+        docs = generate_documents(spark, 8, seed=14, partitions=2)
+        src = str(tmp_path / "src")
+        docs.write.mode("overwrite").parquet(src)
+        dico_bc = spark.sparkContext.broadcast(fixture_dictionary())
+        seen_batches = []
+
+        def sink(batch_df, batch_id):
+            seen_batches.append(batch_df.count())
+
+        ckpt = str(tmp_path / "ckpt")
+        for _ in range(2):  # second run resumes from the checkpoint
+            q = (mention_stream_writer(
+                    read_document_stream(spark, src), dico_bc, sink,
+                    checkpoint_dir=ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+        total_first = sum(seen_batches)
+        assert total_first > 0
+        # the second run found no new files: batch counts don't grow
+        batch = detect_mentions(
+            split_sentences(spark.read.parquet(src)), dico_bc).count()
+        assert total_first == batch
+
+
+class TestEventWindows:
+    def test_windowed_counts_stream_equals_batch(self, spark, tmp_path):
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        batch_out = windowed_event_counts(events).collect()
+        assert batch_out
+        key = lambda r: (r.window_start, r.event_type)
+        batch_map = {key(r): (r.n, r.total_value) for r in batch_out}
+
+        src = str(tmp_path / "ev")
+        events.write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = windowed_event_counts(stream)
+        q = (out.writeStream.format("memory").queryName("wincounts")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("select * from wincounts").collect()
+        got_map = {key(r): (r.n, r.total_value) for r in got}
+        # append mode emits only watermark-closed windows; all emitted
+        # windows must agree exactly with the batch computation
+        assert got_map
+        for k, v in got_map.items():
+            assert batch_map[k] == v
+
+    def test_session_windows_batch(self, spark):
+        events = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:02:00", 2.0),
+             (1, "2024-01-01 00:30:00", 3.0), (2, "2024-01-01 00:00:00", 4.0)],
+            "user_id long, ts_s string, value double"
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+        out = sessionized_user_activity(events).collect()
+        u1 = sorted([r for r in out if r.user_id == 1],
+                    key=lambda r: r.session_start)
+        assert len(u1) == 2            # 0:00-0:02 and 0:30 sessions split
+        assert u1[0].n_events == 2 and u1[1].n_events == 1
+        assert len([r for r in out if r.user_id == 2]) == 1
