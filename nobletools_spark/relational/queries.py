@@ -543,6 +543,14 @@ def embedding_cosine_topk(spark, sf):
             .orderBy(F.desc("cosine"), "vec_id").limit(10))
 
 
+def _spread(spark, df):
+    """Small-file corpora arrive as one split; the heavy per-row map ops
+    (shingling, 64-slot minhash, decode) then run on one task. A real
+    100 TB scan has thousands of splits, so spreading to the session's
+    parallelism reproduces the plan a big input would get."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ----------------------------------- dedup / similarity / multimodal ops ----
 # (implementations in nobletools_spark.textdata; registered here so the
 # driver's DuckDB oracle exercises the SQL-expressible ones)
@@ -567,7 +575,7 @@ def jaccard_neardup_pairs(spark, sf):
     # exact n-gram Jaccard via inverted-index join (the oracle twin of the
     # MinHash/LSH path); shuffle keys on shingle
     from ..textdata.dedup import exact_jaccard_pairs
-    d = load(spark, sf, "documents")
+    d = _spread(spark, load(spark, sf, "documents"))
     return (exact_jaccard_pairs(d, threshold=0.8)
             .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
             .orderBy("a", "b"))
@@ -577,7 +585,7 @@ def jaccard_neardup_pairs(spark, sf):
 def minhash_neardup_pairs(spark, sf):  # equality to the exact pairs is
     # pinned in tests/test_textdata.py (LSH recall check)
     from ..textdata.dedup import minhash_dup_pairs
-    d = load(spark, sf, "documents")
+    d = _spread(spark, load(spark, sf, "documents"))
     return (minhash_dup_pairs(d, threshold=0.8)
             .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
             .orderBy("a", "b"))
@@ -586,7 +594,7 @@ def minhash_neardup_pairs(spark, sf):  # equality to the exact pairs is
 @_q("simhash_neardup_pairs", None)
 def simhash_neardup_pairs(spark, sf):
     from ..textdata.dedup import simhash_neardup_pairs as impl
-    d = load(spark, sf, "documents")
+    d = _spread(spark, load(spark, sf, "documents"))
     return impl(d, max_hamming=3).orderBy("a", "b")
 
 
@@ -634,7 +642,7 @@ def token_counts_bpe(spark, sf):
 @_q("doc_fingerprint_groups", None)  # xxhash64 sketch: rows-only
 def doc_fingerprint_groups(spark, sf):
     from ..textdata.analysis import fingerprint_dup_groups
-    d = load(spark, sf, "documents")
+    d = _spread(spark, load(spark, sf, "documents"))
     return fingerprint_dup_groups(d).orderBy("fingerprint")
 
 
