@@ -71,6 +71,63 @@ def _kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp).orderBy("doc_id")
 
 
+def _kg_annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused doc-level pass: matcher + acronym state + ConText modifiers."""
+    from nobletools_spark.context.lexicon import modifier_dictionary
+    from nobletools_spark.pipeline.stages import annotate_documents
+    dico_bc = spark.sparkContext.broadcast(_dico())
+    ctx_bc = spark.sparkContext.broadcast(modifier_dictionary())
+    ann = annotate_documents(_kg_sentences(spark, sf_dir), dico_bc, ctx_bc)
+    return ann.select("doc_id", "sent_id", "cui", "start", "end",
+                      F.to_json("modifiers").alias("modifiers_json"))
+
+
+def _kg_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor closure over the terminology's isa edges (bounded
+    iterative self-join, depth 7)."""
+    from nobletools_spark.graph.hierarchy import (ancestors_closure,
+                                                  isa_edges_df)
+    return (ancestors_closure(isa_edges_df(spark, _dico()))
+            .orderBy("cui", "anc_cui"))
+
+
+def _kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+P6: mention CUIs rewritten through the connected-components
+    canonical map before triple materialization."""
+    from nobletools_spark.graph.canonicalize import canonical_map
+    from nobletools_spark.pipeline.stages import materialize_triples
+    from nobletools_spark.terminology.build import build_terminology
+    dico = _dico()
+    tables = build_terminology(spark, list(dico.concepts.values()),
+                               dico.build_config)
+    cmap = canonical_map(tables["term_index"], tables["code_xref"])
+    return materialize_triples(_kg_mentions(spark, sf_dir), spark, dico,
+                               canonical=cmap)
+
+
+def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-group: annotation variables over annotated mentions."""
+    from nobletools_spark.context.lexicon import modifier_dictionary
+    from nobletools_spark.mentionsmodel.composition import (DomainSchema,
+                                                            VariableDef,
+                                                            compose)
+    from nobletools_spark.pipeline.stages import annotate_documents
+    dico = _dico()
+    schema = DomainSchema(variables=[
+        VariableDef(name="DataOpMention",
+                    anchor_cuis=tuple(sorted(dico.concepts)),
+                    required=(("Polarity", ()),)),
+    ])
+    dico_bc = spark.sparkContext.broadcast(dico)
+    ctx_bc = spark.sparkContext.broadcast(modifier_dictionary())
+    ann = annotate_documents(_kg_sentences(spark, sf_dir), dico_bc, ctx_bc)
+    out = compose(ann, schema, dico)
+    return (out["instances"]
+            .select("instance_id", "doc_id", "var_name", "cui",
+                    "start", "end")
+            .orderBy("instance_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: qd.spark for name, qd in QUERIES.items()
@@ -81,6 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_counts": _kg_mention_counts,
         "kg_triples": _kg_triples,
         "kg_span_invariant": _kg_span_invariant,
+        "kg_annotated": _kg_annotated,
+        "kg_ancestors": _kg_ancestors,
+        "kg_canonical_triples": _kg_canonical_triples,
+        "kg_instances": _kg_instances,
     })
     return out
 

@@ -1,0 +1,190 @@
+"""I-group: anchors -> annotation variables -> instances/triples.
+
+Behavior-matched (simplified, OWL reasoner replaced by a declarative
+schema) to the reference's NobleMentions composition:
+- anchor selection: mentions whose concept subclasses an Anchor class
+  (DomainOntology.getAnchors:616-637, isAnchor:677-679) — here: the
+  variable's anchor CUIs + their NARROWER descendants via the
+  terminology's isa closure
+- annotation variables per anchor (getAnnotationVariables:1263-1290,
+  anchor class ``isAnchorOf`` restrictions) — here: VariableDef rows
+- satisfaction: every required modifier slot filled with an allowed value
+  (AnnotationVariable.isSatisfied; OWL equivalence restrictions)
+- most-specific-wins on identical spans (NobleMentions.process:178-195 —
+  subclass replaces superclass)
+- failed-for-missing-relation retry: a variable whose only missing slot is
+  a relation to another variable re-satisfies when a good variable of the
+  target type exists in the document (process:209-236)
+- output = instances + (subj, pred, obj) triples, the reference's OWL
+  instance export (B3) as rows
+
+Execution: pure DataFrame ops — broadcast the (small) schema/anchor maps,
+one window for most-specific, one self-join per relation slot. The only
+shuffles key on doc_id/span.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..terminology.storage import Dictionary
+
+
+@dataclass(frozen=True)
+class VariableDef:
+    name: str
+    anchor_cuis: tuple[str, ...]          # anchors = these CUIs + descendants
+    # modifier type -> allowed values (empty tuple = any value accepted)
+    required: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    specific_of: str | None = None        # parent variable (subclass-wins)
+    # relation slot -> target variable name (doc-scoped link)
+    relations: tuple[tuple[str, str], ...] = ()
+
+
+@dataclass
+class DomainSchema:
+    variables: list[VariableDef] = field(default_factory=list)
+
+    def anchor_map(self, dico: Dictionary) -> dict[str, list[str]]:
+        """cui -> [variable names] including NARROWER descendants."""
+        children: dict[str, list[str]] = {}
+        for c, p in dico.isa_edges:
+            children.setdefault(p, []).append(c)
+
+        out: dict[str, list[str]] = {}
+        for v in self.variables:
+            seen: set[str] = set()
+            stack = list(v.anchor_cuis)
+            while stack:
+                cui = stack.pop()
+                if cui in seen:
+                    continue
+                seen.add(cui)
+                stack.extend(children.get(cui, ()))
+            for cui in seen:
+                out.setdefault(cui, []).append(v.name)
+        return out
+
+    def by_name(self) -> dict[str, VariableDef]:
+        return {v.name: v for v in self.variables}
+
+
+def _shadow_cond(n, parent_of: dict[str, str]):
+    """True when array element ``n`` is a child variable present on this
+    span whose declared parent is the current row's var_name."""
+    c = F.lit(False)
+    for child, parent in parent_of.items():
+        c = c | ((n == F.lit(child)) & (F.col("var_name") == F.lit(parent)))
+    return c
+
+
+def _satisfies(required, mods: dict) -> bool:
+    for mtype, allowed in required:
+        val = mods.get(mtype)
+        if val is None:
+            return False
+        if allowed and val not in allowed:
+            return False
+    return True
+
+
+def compose(annotated: DataFrame, schema: DomainSchema,
+            dico: Dictionary) -> dict[str, DataFrame]:
+    """annotated mentions (with ``modifiers`` map) -> instances + triples."""
+    spark = annotated.sparkSession
+    amap = schema.anchor_map(dico)
+    defs = schema.by_name()
+
+    # anchors ⨝ variable defs: broadcast map cui -> var names
+    amap_items = [(cui, names) for cui, names in amap.items()]
+    amap_df = spark.createDataFrame(
+        amap_items, "cui string, var_names array<string>")
+    cand = (annotated.join(F.broadcast(amap_df), "cui")
+            .select("doc_id", "sent_id", "cui", "start", "end", "modifiers",
+                    F.explode("var_names").alias("var_name")))
+
+    # satisfaction via a broadcast schema probe (per-row map lookup —
+    # JVM-side when slots are literal; required tuples are tiny)
+    sat_exprs = []
+    for name, v in defs.items():
+        cond = F.lit(True)
+        for mtype, allowed in v.required:
+            val = F.element_at("modifiers", mtype)
+            c = val.isNotNull()
+            if allowed:
+                c = c & val.isin(*allowed)
+            cond = cond & c
+        sat_exprs.append((name, cond))
+    sat = F.lit(False)
+    for name, cond in sat_exprs:
+        sat = F.when(F.col("var_name") == name, cond).otherwise(sat)
+    cand = cand.withColumn("_satisfied", sat)
+
+    good = cand.where("_satisfied").drop("_satisfied")
+    failed = cand.where("NOT _satisfied").drop("_satisfied")
+
+    # relation retry: a failed variable whose def carries relation slots
+    # re-satisfies if its non-relation slots hold AND a good variable of
+    # the target type exists in the same doc (process:209-236)
+    rel_rows = []
+    for name, v in defs.items():
+        for slot, target in v.relations:
+            rel_rows.append((name, slot, target))
+    if rel_rows:
+        rel_df = spark.createDataFrame(
+            rel_rows, "var_name string, rel_slot string, rel_target string")
+        good_types = (good.select(F.col("doc_id").alias("doc_id"),
+                                  F.col("var_name").alias("rel_target"))
+                      .distinct())
+        retry = (failed.join(F.broadcast(rel_df), "var_name")
+                 .join(good_types, ["doc_id", "rel_target"], "left_semi"))
+        # non-relation slots must still hold; relation defs list required
+        # slots exclusive of the relation, so re-check satisfaction minus
+        # nothing extra here (schema convention: relations are extra)
+        good = good.unionByName(
+            retry.select(*good.columns).dropDuplicates(
+                ["doc_id", "sent_id", "cui", "start", "end", "var_name"]))
+
+    # most-specific-wins on identical (doc, span): child replaces parent
+    parent_of = {v.name: v.specific_of for v in schema.variables
+                 if v.specific_of}
+    if parent_of:
+        pmap = spark.createDataFrame(
+            list(parent_of.items()), "var_name string, parent string")
+        w = Window.partitionBy("doc_id", "start", "end")
+        names_here = F.collect_set("var_name").over(w)
+        good = (good
+                .join(F.broadcast(pmap), "var_name", "left")
+                .withColumn("_names", names_here)
+                # drop a row if some OTHER variable on this span declares
+                # this row's name as its parent
+                .withColumn("_shadowed", F.exists(
+                    "_names", lambda n: _shadow_cond(n, parent_of)))
+                .where(~F.col("_shadowed"))
+                .drop("_names", "_shadowed", "parent"))
+
+    instance_id = F.concat_ws(
+        "#", F.col("doc_id"), F.col("var_name"),
+        F.col("start").cast("string"), F.col("end").cast("string"))
+    instances = good.select(
+        instance_id.alias("instance_id"), "doc_id", "var_name", "cui",
+        "start", "end", "modifiers").dropDuplicates(["instance_id"])
+
+    # triples: doc hasVariable inst; inst hasAnchor CUI; inst <type> value
+    t_doc = instances.select(
+        F.col("doc_id").alias("subj"), F.lit("hasVariable").alias("pred"),
+        F.col("instance_id").alias("obj"), "doc_id")
+    t_anchor = instances.select(
+        F.col("instance_id").alias("subj"), F.lit("hasAnchor").alias("pred"),
+        F.col("cui").alias("obj"), "doc_id")
+    t_mods = (instances
+              .select("instance_id", "doc_id",
+                      F.explode("modifiers").alias("pred", "obj"))
+              .select(F.col("instance_id").alias("subj"), "pred", "obj",
+                      "doc_id"))
+    triples = t_doc.unionByName(t_anchor).unionByName(t_mods).distinct()
+    return {"instances": instances, "triples": triples, "failed": failed}
