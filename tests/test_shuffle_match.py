@@ -1,0 +1,64 @@
+"""Shuffle-join match path parity: detect_mentions_shuffle (relational
+candidate generation over dictionary tables) must produce exactly the
+mentions of the broadcast compacted-index path."""
+
+import pytest
+
+from nobletools_spark.config import for_search_method
+from nobletools_spark.pipeline.documents import generate_documents
+from nobletools_spark.pipeline.shuffle_match import detect_mentions_shuffle
+from nobletools_spark.pipeline.stages import detect_mentions, split_sentences
+from nobletools_spark.terminology.build import (build_terminology,
+                                                dictionary_from_tables)
+from nobletools_spark.terminology.fixture import FIXTURE_CONCEPTS
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    t = build_terminology(spark, FIXTURE_CONCEPTS, compact=True)
+    for k in ("word_index_compact", "term_index", "concepts"):
+        t[k] = t[k].cache()
+    return t
+
+
+@pytest.fixture(scope="module")
+def sentences(spark):
+    docs = generate_documents(spark, 40, seed=31, partitions=4)
+    return split_sentences(docs).cache()
+
+
+def keyset(df):
+    out = set()
+    for r in df.collect():
+        out.add((r.doc_id, r.sent_id, r.cui, r.normalized_term, r.start,
+                 r.end, round(r.score, 6)))
+    return out
+
+
+class TestShuffleMatchParity:
+    def test_matches_broadcast_compacted_path(self, spark, tables, sentences):
+        # broadcast twin: compact WT table, no blacklist shortcut
+        dico = dictionary_from_tables(tables)
+        dico.word_map = {r.word: tuple(r.terms)
+                         for r in tables["word_index_compact"].collect()}
+        dico.blacklist = {}
+        cfg = for_search_method("best-match", compacted=True)
+        broadcast_out = detect_mentions(
+            sentences, spark.sparkContext.broadcast(dico), cfg)
+
+        shuffle_out = detect_mentions_shuffle(
+            sentences, tables, for_search_method("best-match"),
+            base_dico=dico)
+        assert keyset(shuffle_out) == keyset(broadcast_out)
+        assert shuffle_out.count() > 0
+
+    def test_empty_sentence_safe(self, spark, tables):
+        from pyspark.sql import types as ST
+        from nobletools_spark.pipeline.stages import SENTENCES_SCHEMA
+        sents = spark.createDataFrame(
+            [("d1", 0, "Prose", "", 0),
+             ("d1", 1, "Prose", "zz qq ww unknown words", 0)],
+            schema=SENTENCES_SCHEMA)
+        out = detect_mentions_shuffle(sents, tables,
+                                      for_search_method("best-match"))
+        assert out.count() == 0
