@@ -755,3 +755,39 @@ def values_inline_union(spark, sf):
         [("bronze", 0, 1000), ("silver", 1000, 5000), ("gold", 5000, 10000)],
         "tier string, lo int, hi int").orderBy("tier")
         .select("tier", F.col("lo").cast("int"), F.col("hi").cast("int")))
+
+
+@_q("levenshtein_name_type", """
+SELECT p_partkey, levenshtein(p_brand, p_type) AS edit_dist
+FROM part WHERE p_partkey <= 300
+ORDER BY p_partkey
+""")
+def levenshtein_name_type(spark, sf):
+    # D9: built-in edit distance (TextTools.levenshtein analog, JVM-side)
+    p = load(spark, sf, "part")
+    return (p.where(F.col("p_partkey") <= 300)
+            .select("p_partkey",
+                    F.levenshtein("p_brand", "p_type").cast("long")
+                    .alias("edit_dist"))
+            .orderBy("p_partkey"))
+
+
+@_q("extract_event_props", """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events
+WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
+GROUP BY event_type ORDER BY event_type
+""")
+def extract_event_props(spark, sf):
+    # C8: KEY: value property extraction (DocumentProcessor.java:333-339
+    # analog) via regexp_extract, JVM-side
+    e = load(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1)
+    return (e.where(k != "")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(k.cast("long")).cast("long").alias("sum_k"))
+            .orderBy("event_type"))
