@@ -43,31 +43,53 @@ class VariableDef:
     specific_of: str | None = None        # parent variable (subclass-wins)
     # relation slot -> target variable name (doc-scoped link)
     relations: tuple[tuple[str, str], ...] = ()
+    # I2 compound anchor: ALL component CUIs (or descendants) must
+    # co-occur in one sentence (DomainOntology.getCompoundAnchors:708-790);
+    # when set, anchor_cuis is ignored and the instance spans the
+    # components' envelope
+    components: tuple[str, ...] = ()
 
 
 @dataclass
 class DomainSchema:
     variables: list[VariableDef] = field(default_factory=list)
 
-    def anchor_map(self, dico: Dictionary) -> dict[str, list[str]]:
-        """cui -> [variable names] including NARROWER descendants."""
+    @staticmethod
+    def _closure(roots, dico: Dictionary) -> set[str]:
         children: dict[str, list[str]] = {}
         for c, p in dico.isa_edges:
             children.setdefault(p, []).append(c)
+        seen: set[str] = set()
+        stack = list(roots)
+        while stack:
+            cui = stack.pop()
+            if cui in seen:
+                continue
+            seen.add(cui)
+            stack.extend(children.get(cui, ()))
+        return seen
 
+    def anchor_map(self, dico: Dictionary) -> dict[str, list[str]]:
+        """cui -> [variable names] including NARROWER descendants."""
         out: dict[str, list[str]] = {}
         for v in self.variables:
-            seen: set[str] = set()
-            stack = list(v.anchor_cuis)
-            while stack:
-                cui = stack.pop()
-                if cui in seen:
-                    continue
-                seen.add(cui)
-                stack.extend(children.get(cui, ()))
-            for cui in seen:
+            if v.components:
+                continue  # compound anchors handled separately
+            for cui in self._closure(v.anchor_cuis, dico):
                 out.setdefault(cui, []).append(v.name)
         return out
+
+    def component_map(self, dico: Dictionary) -> list[tuple[str, str, str, int]]:
+        """(cui, var_name, component_root, n_components) rows for the
+        compound-anchor join."""
+        rows = []
+        for v in self.variables:
+            if not v.components:
+                continue
+            for root in v.components:
+                for cui in self._closure((root,), dico):
+                    rows.append((cui, v.name, root, len(v.components)))
+        return rows
 
     def by_name(self) -> dict[str, VariableDef]:
         return {v.name: v for v in self.variables}
@@ -173,6 +195,30 @@ def compose(annotated: DataFrame, schema: DomainSchema,
     instances = good.select(
         instance_id.alias("instance_id"), "doc_id", "var_name", "cui",
         "start", "end", "modifiers").dropDuplicates(["instance_id"])
+
+    # I2 compound anchors: all components present in one sentence -> one
+    # compound instance spanning their envelope
+    comp_rows = schema.component_map(dico)
+    if comp_rows:
+        comp_df = spark.createDataFrame(
+            comp_rows,
+            "cui string, var_name string, component string, n_comp int")
+        matched = (annotated
+                   .join(F.broadcast(comp_df), "cui")
+                   .groupBy("doc_id", "sent_id", "var_name", "n_comp")
+                   .agg(F.countDistinct("component").alias("_found"),
+                        F.min("start").alias("start"),
+                        F.max("end").alias("end"))
+                   .where(F.col("_found") == F.col("n_comp")))
+        comp_inst = matched.select(
+            F.concat_ws("#", "doc_id", "var_name",
+                        F.col("start").cast("string"),
+                        F.col("end").cast("string")).alias("instance_id"),
+            "doc_id", "var_name", F.col("var_name").alias("cui"),
+            "start", "end",
+            F.create_map().cast("map<string,string>").alias("modifiers"),
+        ).dropDuplicates(["instance_id"])
+        instances = instances.unionByName(comp_inst)
 
     # triples: doc hasVariable inst; inst hasAnchor CUI; inst <type> value
     t_doc = instances.select(

@@ -240,3 +240,78 @@ def rrf_concepts_with_index(concepts: DataFrame) -> DataFrame:
     order = CUI order (the reference walks MRCONSO sequentially)."""
     w = Window.orderBy("cui")
     return concepts.withColumn("_idx", F.row_number().over(w).cast("long") - 1)
+
+
+# ------------------------------------------------------------------- OWL ---
+
+_RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+_RDFS = "{http://www.w3.org/2000/01/rdf-schema#}"
+_OWL = "{http://www.w3.org/2002/07/owl#}"
+_OBO = "{http://www.geneontology.org/formats/oboInOwl#}"
+
+
+def _frag(uri: str) -> str:
+    for sep in ("#", "/"):
+        if sep in uri:
+            uri = uri.rsplit(sep, 1)[1]
+    return uri
+
+
+def load_owl(xml_text: str) -> tuple[list[dict], list[tuple[str, str]]]:
+    """A4: OWL ontology loader (ConceptImporter.java:376-424 semantics —
+    class tree -> concepts, subClassOf -> BROADER edges). The container has
+    no OWL-API/rdflib, so this is a minimal stdlib RDF/XML parser covering
+    the class-hierarchy subset the reference consumes: ``owl:Class`` with
+    ``rdfs:label``, ``rdfs:subClassOf rdf:resource``, and oboInOwl
+    exact/related synonym literals. Anonymous/restriction superclasses are
+    skipped (the reference's reasoner features are out of scope)."""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml_text)
+    concepts: list[dict] = []
+    edges: list[tuple[str, str]] = []
+    ids: set[str] = set()
+
+    for cls in root.iter(_OWL + "Class"):
+        about = cls.get(_RDF + "about") or cls.get(_RDF + "ID")
+        if not about:
+            continue  # anonymous class (restriction node)
+        cui = _frag(about)
+        label = None
+        synonyms: list[str] = []
+        for child in cls:
+            if child.tag == _RDFS + "label" and child.text:
+                label = child.text.strip()
+            elif child.tag in (_OBO + "hasExactSynonym",
+                               _OBO + "hasRelatedSynonym") and child.text:
+                synonyms.append(child.text.strip())
+            elif child.tag == _RDFS + "subClassOf":
+                res = child.get(_RDF + "resource")
+                if res:  # named superclass only
+                    edges.append((cui, _frag(res)))
+        name = label or cui
+        ids.add(cui)
+        concepts.append(dict(cui=cui, name=name,
+                             synonyms=[name, *synonyms],
+                             sem_types=[], sources=["OWL"],
+                             terms=[(name, "PT")], definitions=[], codes={}))
+    edges = [(c, p) for c, p in edges if c in ids and p in ids]
+    return concepts, edges
+
+
+# ---------------------------------------------------------- text corpus ----
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """A1: a directory of .txt files -> the interleaved documents shape
+    (one text span per file; file name = doc_id). ``wholeTextFiles``-style
+    via the `text` source with file grouping — each file is one document
+    (NobleCoderTool.java:1569-1625 analog, distributed)."""
+    raw = (spark.read.format("text")
+           .option("wholetext", "true")
+           .load(f"{path}/*.txt")
+           .select(F.element_at(F.split(F.input_file_name(), "/"), -1)
+                   .alias("doc_id"),
+                   F.col("value").alias("text")))
+    span = F.array(F.struct(
+        F.lit("text").alias("kind"), F.col("text").alias("text"),
+        F.lit("").alias("media_ref"), F.lit(0).cast("int").alias("offset")))
+    return raw.select("doc_id", span.alias("spans"))

@@ -112,3 +112,32 @@ class TestPersistence:
         assert sorted(dico.isa_edges) == sorted(py.isa_edges)
         for q in ("malignant melanoma", "deep margin biopsy"):
             assert search(q, dico, "best-match") == search(q, py, "best-match")
+
+
+class TestCompoundAnchors:
+    def test_components_must_cooccur(self, spark):
+        schema = DomainSchema(variables=[
+            VariableDef(name="NegMelanomaWorkup", anchor_cuis=(),
+                        components=("C0025202", "C0005558")),  # melanoma+biopsy
+        ])
+        docs = spark.createDataFrame(
+            [("x1", [{"kind": "text",
+                      "text": "Biopsy confirmed melanoma.",
+                      "media_ref": "", "offset": 0}]),
+             ("x2", [{"kind": "text", "text": "Melanoma only here.",
+                      "media_ref": "", "offset": 0}])],
+            schema=DOCUMENTS_SCHEMA)
+        dico = fixture_dictionary()
+        ann = annotate_documents(
+            split_sentences(docs), spark.sparkContext.broadcast(dico),
+            spark.sparkContext.broadcast(modifier_dictionary()),
+            for_search_method("best-match"))
+        out = compose(ann, schema, dico)
+        inst = out["instances"].collect()
+        by_doc = {}
+        for r in inst:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert [r.var_name for r in by_doc.get("x1", [])] == ["NegMelanomaWorkup"]
+        assert "x2" not in by_doc
+        r = by_doc["x1"][0]
+        assert r.start == 0 and r.end == len("Biopsy confirmed melanoma")

@@ -327,3 +327,51 @@ class TestBlacklistAndCompactionAtScale:
         cfg = for_search_method("best-match", compacted=True)
         hits = search("deep margin", dico, base=cfg)
         assert "C1durm01" in {h["cui"] for h in hits}
+
+
+OWL_FIXTURE = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#">
+ <owl:Class rdf:about="http://x.org/onto#Disease">
+  <rdfs:label>Disease</rdfs:label>
+ </owl:Class>
+ <owl:Class rdf:about="http://x.org/onto#Melanoma">
+  <rdfs:label>Melanoma</rdfs:label>
+  <oboInOwl:hasExactSynonym>malignant melanoma</oboInOwl:hasExactSynonym>
+  <rdfs:subClassOf rdf:resource="http://x.org/onto#Disease"/>
+ </owl:Class>
+ <owl:Class rdf:about="http://x.org/onto#Anon">
+  <rdfs:subClassOf rdf:resource="http://elsewhere.org/External"/>
+ </owl:Class>
+</rdf:RDF>"""
+
+
+class TestOwlAndCorpusLoaders:
+    def test_owl_loader(self):
+        from nobletools_spark.terminology.loaders import load_owl
+        concepts, edges = load_owl(OWL_FIXTURE)
+        by = {c["cui"]: c for c in concepts}
+        assert by["Melanoma"]["synonyms"] == ["Melanoma", "malignant melanoma"]
+        assert ("Melanoma", "Disease") in edges
+        # external (unloaded) superclass edges are dropped
+        assert not any(p == "External" for _, p in edges)
+
+    def test_owl_roundtrip_through_matcher(self):
+        from nobletools_spark.terminology.loaders import load_owl
+        concepts, edges = load_owl(OWL_FIXTURE)
+        dico = build_dictionary(concepts, isa_edges=edges)
+        hits = search("possible malignant melanoma", dico, "best-match")
+        assert "Melanoma" in {h["cui"] for h in hits}
+
+    def test_text_corpus_reader(self, spark, tmp_path):
+        from nobletools_spark.terminology.loaders import read_text_corpus
+        (tmp_path / "a.txt").write_text("Melanoma was excised.")
+        (tmp_path / "b.txt").write_text("No rash.")
+        docs = read_text_corpus(spark, str(tmp_path))
+        rows = {r.doc_id: r.spans for r in docs.collect()}
+        assert set(rows) == {"a.txt", "b.txt"}
+        assert rows["a.txt"][0].kind == "text"
+        assert rows["a.txt"][0].text == "Melanoma was excised."
+        assert rows["a.txt"][0].offset == 0
