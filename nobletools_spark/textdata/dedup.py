@@ -131,11 +131,17 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
                       num_hashes: int = DEFAULT_NUM_HASHES,
                       bands: int = DEFAULT_BANDS) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> minhash -> band ->
-    bucket-join -> exact-Jaccard verify."""
+    bucket-join -> exact-Jaccard verify. The verify join re-shingles only
+    the candidate docs (semi-join pre-filter) — the corpus-wide shingle
+    pass happens exactly once, inside the signature stage."""
     sh = shingle_array(df, text_col)
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, bands)
-    return verify_jaccard(cand, sh, threshold)
+    cand_ids = (cand.select(F.col("a").alias("doc_id"))
+                .unionByName(cand.select(F.col("b").alias("doc_id")))
+                .distinct())
+    sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
+    return verify_jaccard(cand, sh_cand, threshold)
 
 
 def exact_jaccard_pairs(df: DataFrame, text_col: str = "text",
