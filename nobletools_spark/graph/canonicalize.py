@@ -64,26 +64,27 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
          .where(F.col("src") != F.col("dst"))
          .distinct())
 
+    # each round references `labels` twice (neighbor flow + self), so the
+    # logical plan would DOUBLE per iteration; localCheckpoint eagerly
+    # truncates lineage — without it analysis OOMs after ~12 rounds
+    e = e.localCheckpoint()
     labels = (e.select(F.col("src").alias("cui"))
               .distinct()
-              .withColumn("label", F.col("cui")))
+              .withColumn("label", F.col("cui"))
+              .localCheckpoint())
     for _ in range(max_iter):
-        # candidate labels flowing along edges
         nbr = (e.join(labels.withColumnRenamed("cui", "dst"), "dst")
                .groupBy("src").agg(F.min("label").alias("nbr_label"))
                .withColumnRenamed("src", "cui"))
         new_labels = (labels.join(nbr, "cui", "left")
                       .select("cui",
                               F.least("label", F.coalesce("nbr_label", "label"))
-                              .alias("label")))
+                              .alias("label"))
+                      .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "cui")
                    .where(F.col("n.label") != F.col("o.label")))
-        before = labels
-        labels = new_labels.cache()
-        labels.count()          # materialize before unpersisting parent
-        if hasattr(before, "unpersist"):
-            before.unpersist()
+        labels = new_labels
         if changed.isEmpty():
             break
 

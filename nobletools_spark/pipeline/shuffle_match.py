@@ -111,7 +111,8 @@ def detect_mentions_shuffle(sentences: DataFrame,
                     for row in cand:
                         r = row if isinstance(row, dict) else row.asDict()
                         tm.setdefault(r["term"], set()).add(r["cui"])
-                        for w in r["term"].split(" "):
+                        from ..text import tools as T
+                        for w in T.get_words(r["term"]):
                             wm.setdefault(w, set()).add(r["term"])
                         if r["cui"] not in mini.concepts:
                             def arr(x):  # Arrow hands arrays as numpy

@@ -208,7 +208,9 @@ def normalize(
             words = list(dict.fromkeys(words))
     elif sort_words:
         words = sorted(words)
-    return " ".join(words)
+    # Java builds "word " per element then trim()s (TextTools.java:666-669):
+    # boundary empty tokens vanish, interior ones leave double spaces
+    return " ".join(words).strip()
 
 
 _COMMON_NORMALIZED = frozenset(normalize(w, True) for w in COMMON_WORDS_RAW)

@@ -375,3 +375,17 @@ class TestOwlAndCorpusLoaders:
         assert rows["a.txt"][0].kind == "text"
         assert rows["a.txt"][0].text == "Melanoma was excised."
         assert rows["a.txt"][0].offset == 0
+
+
+class TestProtectedPeriodTerms:
+    def test_spark_build_indexes_getwords_words(self, spark):
+        # 'grade a.0 lesion' normalizes with a protected period; the WT
+        # table must key on getWords output (a / 0 split), matching the
+        # driver-side build and the matcher probe
+        concepts = [dict(cui="CX", name="grade a.0 lesion",
+                         synonyms=["grade a.0 lesion"], sources=["T"])]
+        py = build_dictionary(concepts)
+        sp = dictionary_from_tables(build_tables(concepts_df(spark, concepts)))
+        assert sp.word_map == py.word_map
+        assert sp.word_stats == py.word_stats
+        assert sp.term_map == py.term_map
