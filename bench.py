@@ -150,6 +150,18 @@ def run(sf_dir: str, cpus: int) -> dict:
     results["kg_pipeline"] = round(time.time() - t0, 3)
     kg_sec = results["kg_pipeline"]
 
+    # the full north-rule path including the doc-level context pass
+    # (acronyms + ConText modifiers; one doc_id shuffle)
+    from nobletools_spark.context.lexicon import modifier_dictionary
+    flat = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(cpus * 2))
+    t0 = time.time()
+    out = run_pipeline(spark, interleave_flat_documents(flat),
+                       entry_mod._dico(), "best-match",
+                       context_dico=modifier_dictionary())
+    out["triples"].count()
+    results["kg_pipeline_context"] = round(time.time() - t0, 3)
+
     for name in HEADLINE_RELATIONAL:
         fn = queries[name]
         t0 = time.time()

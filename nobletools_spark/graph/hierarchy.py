@@ -31,9 +31,10 @@ def ancestors_closure(isa_edges: DataFrame,
                       max_depth: int = MAX_PATH_DEPTH) -> DataFrame:
     """-> ancestors(cui, anc_cui, min_depth). Iterative join bounded by
     max_depth; min_depth = shortest BROADER-path length (>=1)."""
-    edges = isa_edges.select(F.col("child_cui").alias("cui"),
-                             F.col("parent_cui").alias("anc_cui")).distinct()
-    closure = edges.withColumn("min_depth", F.lit(1))
+    edges = (isa_edges.select(F.col("child_cui").alias("cui"),
+                              F.col("parent_cui").alias("anc_cui"))
+             .distinct().localCheckpoint())
+    closure = edges.withColumn("min_depth", F.lit(1)).localCheckpoint()
     frontier = closure
     for _ in range(1, max_depth):
         nxt = (frontier.alias("f")
@@ -42,14 +43,17 @@ def ancestors_closure(isa_edges: DataFrame,
                .select(F.col("f.cui").alias("cui"),
                        F.col("e.anc_cui").alias("anc_cui"),
                        (F.col("f.min_depth") + 1).alias("min_depth")))
-        # keep only pairs not already reached at a shallower depth
+        # keep only pairs not already reached at a shallower depth;
+        # localCheckpoint truncates the per-round lineage (each round
+        # references `closure` twice — anti-join + union)
         nxt = (nxt.join(closure.select("cui", "anc_cui"),
                         ["cui", "anc_cui"], "left_anti")
                .groupBy("cui", "anc_cui")
-               .agg(F.min("min_depth").alias("min_depth")))
+               .agg(F.min("min_depth").alias("min_depth"))
+               .localCheckpoint())
         if nxt.isEmpty():
             break
-        closure = closure.unionByName(nxt)
+        closure = closure.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return closure
 

@@ -67,15 +67,16 @@ TRIPLES_SCHEMA = ST.StructType([
 
 
 def salt_documents(documents: DataFrame, salt_buckets: int = 0) -> DataFrame:
-    """Skew defense: spread documents evenly regardless of content hot spots.
-    ``repartition(hash(doc_id, salt))`` keeps each doc whole (doc-level state
-    stays local) while breaking any clustering of hot-term documents."""
+    """Skew defense: spread documents evenly regardless of content hot
+    spots. Round-robin repartition — each row (one whole document) lands
+    in exactly one partition with perfect balance, breaking any clustering
+    of hot-term documents. (Hashing a computed salt column would re-hash
+    the salt into buckets and collide; round-robin IS the salted spread
+    for row-granular work. Key-salting proper applies to the join-based
+    match path, where AQE's skew-join handles it.)"""
     if salt_buckets <= 0:
         return documents
-    return (documents
-            .withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)))
-            .repartition(salt_buckets, "_salt")
-            .drop("_salt"))
+    return documents.repartition(salt_buckets)
 
 
 def split_sentences(documents: DataFrame, doc_type: str = SP.TYPE_MEDICAL_REPORT,

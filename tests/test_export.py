@@ -42,3 +42,27 @@ def test_triple_sink_partitioned_by_pred(spark, tmp_path):
     isa = back.where(F.col("pred") == "isa")
     assert "PartitionFilters" in isa._jdf.queryExecution().executedPlan().toString() \
         or isa.count() > 0
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """spark-submit --py-files artifact: the zip must be importable on its
+    own (executors add it to sys.path)."""
+    import subprocess
+    import sys
+    out = str(tmp_path / "nobletools_spark.zip")
+    r = subprocess.run([sys.executable, "scripts/package_pyfiles.py", out],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    probe = (
+        "import sys; sys.path.insert(0, %r); "
+        "from nobletools_spark.matcher.core import process_sentence; "
+        "from nobletools_spark.terminology.fixture import fixture_dictionary; "
+        "from nobletools_spark.config import for_search_method; "
+        "ms = process_sentence('malignant melanoma', fixture_dictionary(), "
+        "for_search_method('best-match')); "
+        "assert any(m.cui == 'C0025202' for m in ms), ms; print('ok')"
+        % out)
+    r2 = subprocess.run([sys.executable, "-c", probe], capture_output=True,
+                        text=True, cwd=str(tmp_path))  # NOT the repo dir
+    assert r2.returncode == 0, r2.stderr
+    assert r2.stdout.strip() == "ok"
