@@ -223,6 +223,27 @@ class ConTextEngine:
                 out.append(i)
         return out
 
+    def has_section_action(self, cui: str) -> bool:
+        """hasSectionAction / hasParagraphAction on the concept or its
+        group parents (ConText.getGlobalModifierMentions:401-414)."""
+        c = self._concept(cui)
+        if c is not None and (c.get_prop("hasSectionAction")
+                              or c.get_prop("hasParagraphAction")):
+            return True
+        return any(self.has_section_action(p)
+                   for p in self.dico.parents_of(cui))
+
+    def section_modifiers(self, text: str) -> list[ModifierOut]:
+        """Modifier values from ``text`` whose concepts carry a section
+        action — they scope to every mention in the enclosing section
+        (NobleMentions.getGlobalModifiers + getMatchingModifiers)."""
+        mods = process_sentence(text, self.dico, self.cfg)
+        out: list[ModifierOut] = []
+        for m in self.relevant_modifiers(mods):
+            if self.has_section_action(m.cui):
+                out.extend(self.modifier_values(m))
+        return out
+
     def process(self, text: str, targets: list[MentionOut]
                 ) -> list[dict[str, list[ModifierOut]]]:
         """Run the modifier matcher over ``text`` and assign modifiers to

@@ -86,10 +86,14 @@ LEXICON_CONCEPTS: list[dict] = [
     dict(cui="FamilyGroup", name="Family history group", synonyms=[],
          sem_types=["Modifier", "LinguisticModifier"], sources=["CONTEXT"],
          props={"hasActionEn": ACTION_FORWARD,
+                # a family-history phrase in a section header scopes the
+                # whole section (ConText.java HAS_SECTION_ACTION :39-40)
+                "hasSectionAction": ACTION_FORWARD,
                 "hasTermination": "ConjunctionGroup"}),
     dict(cui="HistoricalGroup", name="Historical group", synonyms=[],
          sem_types=["Modifier", "LinguisticModifier"], sources=["CONTEXT"],
          props={"hasActionEn": ACTION_FORWARD, "windowSize": "6",
+                "hasSectionAction": ACTION_FORWARD,
                 "hasTermination": "ConjunctionGroup"}),
     dict(cui="HedgeGroup", name="Hedging group", synonyms=[],
          sem_types=["Modifier", "LinguisticModifier"], sources=["CONTEXT"],

@@ -182,7 +182,7 @@ def annotate_documents(sentences: DataFrame, dico_bc, context_bc=None,
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..context.acronyms import AcronymState
-        from ..context.context import ConTextEngine
+        from ..context.context import ConTextEngine, _add_modifier
         from ..context import negex as NX
 
         dico: Dictionary = dico_bc.value if hasattr(dico_bc, "value") else dico_bc
@@ -195,18 +195,38 @@ def annotate_documents(sentences: DataFrame, dico_bc, context_bc=None,
         pdf = pdf.sort_values(["doc_id", "sent_id"])
         state: AcronymState | None = None
         cur_doc = None
-        for doc_id, sent_id, text, offset in zip(
-                pdf["doc_id"], pdf["sent_id"], pdf["text"], pdf["offset"]):
+        section_mods: list = []
+        for doc_id, sent_id, sent_type, text, offset in zip(
+                pdf["doc_id"], pdf["sent_id"], pdf["sent_type"],
+                pdf["text"], pdf["offset"]):
             if doc_id != cur_doc:
                 cur_doc = doc_id
                 state = AcronymState(dico)  # cleared per doc (:273)
+                section_mods = []
             stext = SP.filter_deid_tags(text) if deid_scrub else text
+
+            # section headers aren't coded, but section-action modifiers
+            # found in them scope every mention until the next header
+            # (ConText HAS_SECTION_ACTION; headers survive only when the
+            # caller split with filter_headers=False)
+            if sent_type == SP.TYPE_HEADER:
+                section_mods = (engine.section_modifiers(stext)
+                                if engine is not None else [])
+                continue
+
             mentions = process_sentence(stext, dico, cfg)
             mentions = state.process(stext, mentions)
 
             mods_per_mention: list[dict[str, str]]
             if engine is not None:
                 slots = engine.process(stext, mentions)
+                for slot, target in zip(slots, mentions):
+                    for smod in section_mods:
+                        # local sentence modifiers win over section scope
+                        # (NobleMentions.process:158-169)
+                        cur = slot.get(smod.type, [])
+                        if all(m.is_default for m in cur):
+                            _add_modifier(slot, smod, target)
                 mods_per_mention = [
                     {t: ",".join(m.value for m in lst)
                      for t, lst in slot.items()}

@@ -165,8 +165,12 @@ def find_sections(text: str, doc_type: str = TYPE_MEDICAL_REPORT) -> list[Sectio
             body = mt.group(2)
             m = pt.search(body)
             if m:
+                # greedy body swallowed the next section: clip THIS
+                # section's extent, but recurse into the UNCLIPPED body so
+                # the following sections are still discovered
+                # (DocumentProcessor.section:391-412 resets the matcher
+                # over the full body before recursing)
                 en = bst + m.start()
-                body = text[bst:en]
             out.append(SectionRow(title=mt.group(1), title_offset=st,
                                   body_offset=bst, end=en))
             rec(bst, body)

@@ -222,3 +222,28 @@ class TestAnnotateStage:
              for r in plain.collect()}
         # acronym pass may add/remove mentions; the overlap must dominate
         assert len(a & b) / max(len(b), 1) > 0.95
+
+
+class TestSectionScope:
+    def test_header_modifier_scopes_section(self, spark):
+        from nobletools_spark.pipeline.documents import DOCUMENTS_SCHEMA
+        from nobletools_spark.pipeline.stages import (annotate_documents,
+                                                      split_sentences)
+        text = ("FAMILY HISTORY:  Mother had breast cancer. "
+                "Father had diabetes.\n"
+                "ASSESSMENT:  Patient has a skin rash today.")
+        docs = spark.createDataFrame(
+            [("s1", [{"kind": "text", "text": text, "media_ref": "",
+                      "offset": 0}])], schema=DOCUMENTS_SCHEMA)
+        sents = split_sentences(docs, filter_headers=False)
+        ann = annotate_documents(
+            sents, spark.sparkContext.broadcast(fixture_dictionary()),
+            spark.sparkContext.broadcast(modifier_dictionary()), CFG)
+        rows = {(r.cui): r.modifiers for r in ann.collect()}
+        # family-history section: both mentions inherit the experiencer
+        assert rows["C0346109"]["Experiencer"] == "FamilyMember_Experiencer"
+        assert rows["C0011847"]["Experiencer"] == "FamilyMember_Experiencer"
+        # next section resets: rash is patient-experienced
+        assert rows["C0037284"]["Experiencer"] == "Patient_Experiencer"
+        # headers themselves are not coded
+        assert not any(r for r in rows if r == "FamilyMember")
