@@ -95,3 +95,31 @@ def sessionized_user_activity(events: DataFrame,
             .select(F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "user_id", "n_events", "total_value"))
+
+
+def running_user_totals(events: DataFrame,
+                        timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator: per-user cumulative (n_events, total)
+    maintained across micro-batches with ``applyInPandasWithState`` — the
+    escape hatch for stateful logic watermark windows can't express
+    (here: unbounded running totals surviving the stream's lifetime).
+    State per key is two numbers, so the state store stays O(#users)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total": [round(total, 2)]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))

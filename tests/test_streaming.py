@@ -107,3 +107,41 @@ class TestEventWindows:
         assert len(u1) == 2            # 0:00-0:02 and 0:30 sessions split
         assert u1[0].n_events == 2 and u1[1].n_events == 1
         assert len([r for r in out if r.user_id == 2]) == 1
+
+
+class TestStatefulOperator:
+    def test_running_totals_accumulate_across_batches(self, spark, tmp_path):
+        from nobletools_spark.streaming.pipeline import running_user_totals
+        events = (spark.read.parquet(f"{SF}/events.parquet")
+                  .select("user_id", "ts", "value"))
+        # split into two file batches so state must carry over
+        src = str(tmp_path / "ev")
+        half = events.count() // 2
+        events.limit(half).write.mode("overwrite").parquet(src + "/b1")
+        events.subtract(events.limit(half)).write.mode("overwrite") \
+            .parquet(src + "/b2")
+
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/*"))
+        out = running_user_totals(stream)
+        q = (out.writeStream.format("memory").queryName("runtotals")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        # last update per user must equal the batch ground truth
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+        got = spark.sql("select * from runtotals")
+        last = {}
+        for r in got.collect():
+            last[r.user_id] = (r.n_events, r.total)  # later rows overwrite
+        truth = {r.user_id: (r.n, round(r.total, 2)) for r in
+                 events.groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("value").alias("total")).collect()}
+        for u, (n, t) in truth.items():
+            assert last[u][0] == n
+            assert abs(last[u][1] - t) < 0.05

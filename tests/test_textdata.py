@@ -218,3 +218,39 @@ class TestMultimodal:
         assert sorted(by_doc["d1"]) == [0, 1000, 2000, 3000]
         assert "d3" not in by_doc          # images don't produce frames
         assert 1 <= len(by_doc["d2"]) <= 8  # stub duration bounded
+
+
+class TestIvfAnn:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+    @pytest.fixture(scope="class")
+    def probe(self, emb):
+        return [float(x) for x in
+                emb.where("vec_id = 0").first()["embedding"]]
+
+    def test_full_probe_equals_brute(self, spark, emb, probe):
+        from nobletools_spark.textdata.ann import brute_topk, build_ivf
+        idx = build_ivf(emb, n_clusters=8)
+        approx = [(r.vec_id, r.cosine) for r in
+                  idx.search(probe, k=10, n_probe=8).collect()]
+        exact = [(r.vec_id, r.cosine) for r in
+                 brute_topk(emb, probe, k=10).collect()]
+        assert approx == exact  # probing every cluster = exact search
+
+    def test_partial_probe_recall(self, spark, emb, probe):
+        from nobletools_spark.textdata.ann import brute_topk, build_ivf
+        idx = build_ivf(emb, n_clusters=8)
+        approx = {r.vec_id for r in idx.search(probe, k=10, n_probe=3).collect()}
+        exact = {r.vec_id for r in brute_topk(emb, probe, k=10).collect()}
+        # 3-of-8 probes must keep decent recall on this data; pin a floor
+        assert len(approx & exact) >= 5
+        # the probe vector itself always lands in the nearest cluster
+        assert 0 in approx
+
+    def test_deterministic_build(self, spark, emb, probe):
+        from nobletools_spark.textdata.ann import build_ivf
+        a = build_ivf(emb, n_clusters=8).search(probe, k=5, n_probe=2)
+        b = build_ivf(emb, n_clusters=8).search(probe, k=5, n_probe=2)
+        assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
