@@ -19,6 +19,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -791,3 +793,55 @@ def extract_event_props(spark, sf):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(k.cast("long")).cast("long").alias("sum_k"))
             .orderBy("event_type"))
+
+
+@_q("grouped_agg_pandas_udaf", """
+SELECT o_orderstatus AS status,
+       round(exp(avg(ln(o_totalprice))), 2) AS geo_mean_price,
+       count(*) AS n
+FROM orders WHERE o_totalprice > 0
+GROUP BY o_orderstatus ORDER BY status
+""")
+def grouped_agg_pandas_udaf(spark, sf):
+    # §2.J UDAF surface: a grouped-agg pandas UDF (Arrow-batched numpy
+    # reduction per group) — geometric mean, oracle-checked against
+    # exp(avg(ln x))
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # pandas grouped-agg UDFs can't mix with built-in aggregates in
+        # one agg() — count comes from the same Arrow batch instead
+        return len(v)
+
+    o = load(spark, sf, "orders").where(F.col("o_totalprice") > 0)
+    return (o.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.round(geo_mean("o_totalprice"), 2).alias("geo_mean_price"),
+                 n_rows("o_totalprice").alias("n"))
+            .orderBy("status"))
+
+
+@_q("udtf_sentence_explode", None)  # UDTF output: rows-only check
+def udtf_sentence_explode(spark, sf):
+    # §2.J UDTF surface: a Python user-defined TABLE function exploding
+    # each document into sentence rows (arrow-optimized, lateral-join style)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):
+            if not text:
+                return
+            parts = [s.strip() for s in text.split(".") if s.strip()]
+            for i, s in enumerate(parts):
+                yield doc_id, i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT s.doc_id, s.sent_idx, s.sentence
+        FROM docs_udtf, LATERAL sentence_split(doc_id, text) s
+        ORDER BY s.doc_id, s.sent_idx""")
