@@ -1,13 +1,14 @@
 """Differential parity check: our text layer vs the reference TextTools.
 
-Compiles the reference's TextTools.java + Stemmer.java (JDK-only deps;
-the three unrelated members touching FileTools/Sender/SentenceDetector
-are stubbed) into .scratch/texttools and diffs getWords / normalizeWords /
-normalize over ~5k inputs: every fixture synonym, generated corpus
-sentences, hand-picked edge cases (floats, diacritics, possessives,
+Compiles the reference's TextTools.java + Stemmer.java +
+SentenceDetector.java (JDK-only deps; the three unrelated members touching
+FileTools/Sender are stubbed, Sentence replaced with a 10-line API stub)
+into .scratch/texttools and diffs getWords / normalizeWords / normalize /
+sentence splitting over ~5k inputs: every fixture synonym, generated
+corpus sentences, hand-picked edge cases (floats, diacritics, possessives,
 acronyms, delimiter soup), and 4k random strings.
 
-Last recorded run: 0 mismatches on all three functions over 5,154 inputs.
+Last recorded run: 0 mismatches on all four functions over 5,154 inputs.
 
 Usage: python scripts/texttools_parity.py   (skips if no javac/reference)
 """
@@ -28,7 +29,10 @@ REF_RES = "/root/reference/src/main/resources/resources"
 
 MAIN_JAVA = r'''
 import edu.pitt.dbmi.nlp.noble.tools.TextTools;
+import edu.pitt.dbmi.nlp.noble.tools.SentenceDetector;
+import edu.pitt.dbmi.nlp.noble.coder.model.Sentence;
 import java.io.*;
+import java.util.*;
 public class Main {
     public static void main(String[] args) throws Exception {
         BufferedReader r = new BufferedReader(new InputStreamReader(System.in, "UTF-8"));
@@ -40,9 +44,28 @@ public class Main {
             w.println("W" + us + String.join(us, TextTools.getWords(text)));
             w.println("N" + us + String.join(us, TextTools.normalizeWords(text, true, false, true)));
             w.println("S" + us + TextTools.normalize(text, true, false, true, true, false));
+            StringBuilder b = new StringBuilder("T");
+            for (Sentence sn : SentenceDetector.getSentences(text, 0)) {
+                b.append(us).append(sn.getOffset()).append("|")
+                 .append(sn.getText().replace("\n", "\\n"));
+            }
+            w.println(b.toString());
         }
         w.flush();
     }
+}
+'''
+
+# minimal stand-in for the model class SentenceDetector instantiates —
+# API surface only (text/offset/type), no reference code
+SENTENCE_STUB = r'''
+package edu.pitt.dbmi.nlp.noble.coder.model;
+public class Sentence {
+    public static final String TYPE_PROSE = "Prose";
+    private String text; private int offset; private String type;
+    public Sentence(String t, int o, String ty) { text = t; offset = o; type = ty; }
+    public String getText() { return text; }
+    public int getOffset() { return offset; }
 }
 '''
 
@@ -65,10 +88,14 @@ def build() -> bool:
     if not shutil.which("javac") or not os.path.isdir(REF):
         return False
     pkg = os.path.join(SCRATCH, "edu/pitt/dbmi/nlp/noble/tools")
+    model = os.path.join(SCRATCH, "edu/pitt/dbmi/nlp/noble/coder/model")
     os.makedirs(pkg, exist_ok=True)
+    os.makedirs(model, exist_ok=True)
     os.makedirs(os.path.join(SCRATCH, "resources"), exist_ok=True)
-    for f in ("TextTools.java", "Stemmer.java"):
+    for f in ("TextTools.java", "Stemmer.java", "SentenceDetector.java"):
         shutil.copy(os.path.join(REF, f), pkg)
+    with open(os.path.join(model, "Sentence.java"), "w") as f:
+        f.write(SENTENCE_STUB)
     with open(os.path.join(pkg, "TextTools.java")) as f:
         src = f.read()
     for old, new in STUBS:
@@ -135,8 +162,8 @@ def main() -> int:
     bad = 0
     for i, text in enumerate(inputs):
         raw = text.replace("\\n", "\n").replace("\\t", "\t")
-        jw, jn = parse(lines[3 * i]), parse(lines[3 * i + 1])
-        js = lines[3 * i + 2][2:]
+        jw, jn = parse(lines[4 * i]), parse(lines[4 * i + 1])
+        js = lines[4 * i + 2][2:]
         pw = T.get_words(raw)
         pn = T.normalize_words(raw, True, False, True)
         ps = T.normalize(raw, True, False, True, unique_words=True,
@@ -147,6 +174,18 @@ def main() -> int:
                 bad += 1
         if js != ps:
             print(f"MISMATCH normalize {raw!r}: java={js!r} py={ps!r}")
+            bad += 1
+        # sentence splitter (offset variant, ';' terminator)
+        from nobletools_spark.sentence.splitter import split_prose
+        jt = lines[4 * i + 3][2:]
+        jsents = []
+        if jt:
+            for part in jt.split(US):
+                off, txt2 = part.split("|", 1)
+                jsents.append((txt2.replace("\\n", "\n"), int(off)))
+        psents = split_prose(raw, 0)
+        if jsents != psents:
+            print(f"MISMATCH sentences {raw!r}: java={jsents} py={psents}")
             bad += 1
     print(f"{len(inputs)} inputs, {bad} mismatches")
     return 1 if bad else 0
