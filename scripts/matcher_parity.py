@@ -1,0 +1,269 @@
+"""END-TO-END matcher differential: our matcher vs the COMPILED REFERENCE
+ENGINE (`NobleCoderTerminology.process(Sentence)`).
+
+The reference's three Maven dependencies are bundled in its `lib/`, so the
+whole engine compiles as-is (one stray unused IDE import stripped). The
+harness (`.scratch/fullref/DiffMain.java`) builds an in-memory terminology
+from our fixture concepts over stdin, sets the best-match flags, processes
+each corpus sentence, and prints every mention (cui, matched term, score,
+word annotations with offsets). This script diffs that against
+`matcher.core.process_sentence` on identical inputs — the direct
+measurement of the "P/R vs reference annotations" acceptance metric.
+
+Usage: python scripts/matcher_parity.py   (skips if javac/reference absent)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH = os.path.join(ROOT, ".scratch", "fullref")
+REF_SRC = "/root/reference/src/main/java"
+LIBS = ":".join(
+    f"/root/reference/lib/{j}" for j in
+    ("jdbm-3.0.jar", "owlapi-distribution-3.5.0.jar", "servlet-2_3.jar"))
+CP = f".:classes:/root/reference/src/main/resources:{LIBS}"
+US = "\x1f"
+
+DIFF_MAIN = r'''import edu.pitt.dbmi.nlp.noble.coder.model.Mention;
+import edu.pitt.dbmi.nlp.noble.coder.model.Sentence;
+import edu.pitt.dbmi.nlp.noble.terminology.Annotation;
+import edu.pitt.dbmi.nlp.noble.terminology.Concept;
+import edu.pitt.dbmi.nlp.noble.terminology.SemanticType;
+import edu.pitt.dbmi.nlp.noble.terminology.Source;
+import edu.pitt.dbmi.nlp.noble.terminology.Term;
+import edu.pitt.dbmi.nlp.noble.terminology.impl.NobleCoderTerminology;
+
+import java.io.*;
+import java.util.*;
+
+// End-to-end matcher differential harness.
+// stdin protocol (US = ):
+//   C <US> cui <US> name <US> syn|syn|... <US> st;st <US> src;src <US> text:form,text:form
+//   Q <US> sentence text            (after all C lines)
+// stdout: for each Q, one line per mention:
+//   M <US> qIndex <US> cui <US> matchedTerm <US> score <US> text@off,text@off
+// then: D <US> qIndex  (sentence done)
+public class DiffMain {
+    public static void main(String[] args) throws Exception {
+        String us = "";
+        NobleCoderTerminology term = new NobleCoderTerminology();
+        // best-match flags (setupSearch semantics)
+        term.setSubsumptionMode(true);
+        term.setOverlapMode(true);
+        term.setContiguousMode(true);
+        term.setOrderedMode(false);
+        term.setPartialMode(false);
+        term.setMaximumWordGap(1);
+        term.setScoreConcepts(true);
+        term.setSelectBestCandidate(false);
+        term.setIgnoreUsedWords(true);
+        term.setStemWords(true);
+        term.setStripStopWords(true);
+        term.setIgnoreSmallWords(true);
+        term.setIgnoreDigits(false);
+
+        BufferedReader r = new BufferedReader(new InputStreamReader(System.in, "UTF-8"));
+        PrintWriter w = new PrintWriter(new OutputStreamWriter(System.out, "UTF-8"));
+        String line;
+        int qi = 0;
+        while ((line = r.readLine()) != null) {
+            String[] f = line.split(us, -1);
+            if (f[0].equals("C")) {
+                Concept c = new Concept(f[1], f[2]);
+                if (!f[3].isEmpty())
+                    c.setSynonyms(f[3].split("\\|"));
+                if (!f[4].isEmpty())
+                    for (String st : f[4].split(";"))
+                        c.addSemanticType(SemanticType.getSemanticType(st));
+                if (!f[5].isEmpty())
+                    for (String src : f[5].split(";"))
+                        c.addSource(Source.getSource(src));
+                if (!f[6].isEmpty()) {
+                    for (String tf : f[6].split(",")) {
+                        int i = tf.lastIndexOf(':');
+                        Term t = Term.getTerm(tf.substring(0, i));
+                        t.setForm(tf.substring(i + 1));
+                        c.addTerm(t);
+                    }
+                }
+                term.addConcept(c);
+            } else if (f[0].equals("Q")) {
+                Sentence s = new Sentence(f[1], 0, Sentence.TYPE_PROSE);
+                term.process(s);
+                for (Mention m : s.getMentions()) {
+                    StringBuilder a = new StringBuilder();
+                    for (Annotation an : m.getAnnotations()) {
+                        if (a.length() > 0) a.append(",");
+                        a.append(an.getText()).append("@").append(an.getOffset());
+                    }
+                    w.println("M" + us + qi + us + m.getConcept().getCode()
+                              + us + m.getConcept().getMatchedTerm()
+                              + us + m.getConcept().getScore()
+                              + us + a);
+                }
+                w.println("D" + us + qi);
+                qi++;
+            }
+        }
+        w.flush();
+    }
+}
+'''
+
+
+def build() -> bool:
+    if not shutil.which("javac") or not os.path.isdir(REF_SRC):
+        return False
+    if os.path.exists(os.path.join(SCRATCH, "DiffMain.class")):
+        return True
+    os.makedirs(os.path.join(SCRATCH, "classes"), exist_ok=True)
+    src = os.path.join(SCRATCH, "src")
+    if not os.path.isdir(src):
+        shutil.copytree(REF_SRC, src)
+        p = os.path.join(
+            src, "edu/pitt/dbmi/nlp/noble/coder/model/Mention.java")
+        with open(p) as f:
+            code = f.read()
+        code = code.replace(
+            "import com.sun.org.apache.xpath.internal.operations.Mod;", "")
+        with open(p, "w") as f:
+            f.write(code)
+    sources = []
+    for dirpath, _, files in os.walk(src):
+        sources += [os.path.join(dirpath, f) for f in files
+                    if f.endswith(".java")]
+    with open(os.path.join(SCRATCH, "sources.txt"), "w") as f:
+        f.write("\n".join(sources))
+    with open(os.path.join(SCRATCH, "DiffMain.java"), "w") as f:
+        f.write(DIFF_MAIN)
+    r = subprocess.run(
+        ["javac", "-encoding", "UTF-8", "-nowarn", "-cp", LIBS,
+         "-d", "classes", "@sources.txt"], cwd=SCRATCH, capture_output=True)
+    if r.returncode != 0:
+        print(r.stderr.decode()[:600])
+        return False
+    r = subprocess.run(
+        ["javac", "-encoding", "UTF-8", "-nowarn", "-cp",
+         f"classes:{LIBS}", "DiffMain.java"],
+        cwd=SCRATCH, capture_output=True)
+    return r.returncode == 0
+
+
+def run_reference(concepts, sentences) -> dict[int, set]:
+    lines = []
+    for c in concepts:
+        terms = ",".join(f"{t[0]}:{t[1]}" for t in c.get("terms", ()))
+        lines.append(US.join([
+            "C", c["cui"], c["name"], "|".join(c.get("synonyms", ())),
+            ";".join(c.get("sem_types", ())),
+            ";".join(c.get("sources", ())), terms]))
+    for s in sentences:
+        lines.append(US.join(["Q", s]))
+    proc = subprocess.run(
+        ["java", "-cp", CP, "DiffMain"], cwd=SCRATCH,
+        input="\n".join(lines), capture_output=True, text=True, timeout=600)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-800:])
+    out: dict[int, set] = {i: set() for i in range(len(sentences))}
+    for line in proc.stdout.splitlines():
+        f = line.split(US)
+        if f[0] == "M":
+            qi = int(f[1])
+            anns = tuple(sorted(
+                (a.rsplit("@", 1)[0], int(a.rsplit("@", 1)[1]))
+                for a in f[5].split(",") if a))
+            out[qi].add((f[2], f[3], round(float(f[4]), 4), anns))
+    return out
+
+
+def run_ours(concepts, sentences, isa_edges) -> dict[int, set]:
+    sys.path.insert(0, ROOT)
+    from nobletools_spark.config import for_search_method
+    from nobletools_spark.matcher.core import process_sentence
+    from nobletools_spark.terminology.storage import build_dictionary
+    dico = build_dictionary(concepts, isa_edges=isa_edges)
+    cfg = for_search_method("best-match")
+    out: dict[int, set] = {}
+    for i, s in enumerate(sentences):
+        ms = set()
+        for m in process_sentence(s, dico, cfg):
+            anns = tuple(sorted((t, o) for t, o in m.annotations))
+            ms.add((m.cui, m.matched_term, round(m.score, 4), anns))
+        out[i] = ms
+    return out
+
+
+def main() -> int:
+    if not build():
+        print("SKIP: javac or reference sources unavailable")
+        return 0
+    sys.path.insert(0, ROOT)
+    from nobletools_spark.pipeline.documents import generate_documents_local
+    from nobletools_spark.sentence.splitter import (filter_sentence,
+                                                    process_document)
+    from nobletools_spark.terminology.fixture import (FIXTURE_CONCEPTS,
+                                                      FIXTURE_ISA_EDGES)
+
+    sentences: list[str] = []
+    for _, spans in generate_documents_local(150, seed=123):
+        for sp in spans:
+            if sp["kind"] != "text" or not sp["text"]:
+                continue
+            rows, _ = process_document(sp["text"])
+            for r in rows:
+                if not filter_sentence(r.text, r.sent_type):
+                    t = r.text.strip()
+                    if t and "\n" not in t and US not in t:
+                        sentences.append(t)
+    extra = [
+        "No evidence of malignant melanoma or DCIS.",
+        "The deep margin is clear; deep margins are involved.",
+        "red swift dog and red dog and just red",
+        "cancer of the skin vs skin cancers",
+        "Alzheimer's disease and Alzheimers disease",
+        "nevus flammeus with dysplastic nevus",  # regex synonym
+        "FISH was positive. fish were swimming.",
+        "cold COLD Cold",
+        "biopsy of skin, skin punch biopsy, bx",
+        "2.5 mm melanoma at 3.7 cm",
+    ]
+    sentences += extra
+    print(f"{len(FIXTURE_CONCEPTS)} concepts, {len(sentences)} sentences")
+
+    ref = run_reference(FIXTURE_CONCEPTS, sentences)
+    ours = run_ours(FIXTURE_CONCEPTS, sentences, FIXTURE_ISA_EDGES)
+
+    # exact-set diff + the P/R acceptance metric on (cui, span) keys
+    mismatched = 0
+    tp = fp = fn = 0
+    for i, s in enumerate(sentences):
+        a, b = ref[i], ours[i]
+        ka = {(c, anns) for c, _, _, anns in a}
+        kb = {(c, anns) for c, _, _, anns in b}
+        tp += len(ka & kb)
+        fp += len(kb - ka)
+        fn += len(ka - kb)
+        if a != b:
+            mismatched += 1
+            if mismatched <= 8:
+                print(f"DIFF {s!r}")
+                for x in sorted(a - b):
+                    print("   ref-only:", x)
+                for x in sorted(b - a):
+                    print("   ours-only:", x)
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    print(f"sentences with any diff: {mismatched}/{len(sentences)}")
+    print(f"mention-key P={p:.4f} R={r:.4f} (TP={tp} FP={fp} FN={fn})")
+    ok = p >= 0.95 and r >= 0.95
+    print("P/R >= 0.95 gate:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
