@@ -92,6 +92,14 @@ public class DiffMain {
                     }
                 }
                 term.addConcept(c);
+            } else if (f[0].equals("O")) {
+                // process() re-applies setupSearch(defaultSearchMethod),
+                // so the mode MUST go through setDefaultSearchMethod;
+                // reset the flags the presets leave untouched so each
+                // mode behaves like a fresh engine
+                term.setIgnoreUsedWords(true);
+                term.setMaximumWordGap(1);
+                term.setDefaultSearchMethod(f[1]);
             } else if (f[0].equals("Q")) {
                 Sentence s = new Sentence(f[1], 0, Sentence.TYPE_PROSE);
                 term.process(s);
@@ -154,7 +162,7 @@ def build() -> bool:
     return r.returncode == 0
 
 
-def run_reference(concepts, sentences) -> dict[int, set]:
+def run_reference(concepts, sentences, mode="best-match") -> dict[int, set]:
     lines = []
     for c in concepts:
         terms = ",".join(f"{t[0]}:{t[1]}" for t in c.get("terms", ()))
@@ -162,6 +170,7 @@ def run_reference(concepts, sentences) -> dict[int, set]:
             "C", c["cui"], c["name"], "|".join(c.get("synonyms", ())),
             ";".join(c.get("sem_types", ())),
             ";".join(c.get("sources", ())), terms]))
+    lines.append(US.join(["O", mode]))
     for s in sentences:
         lines.append(US.join(["Q", s]))
     proc = subprocess.run(
@@ -181,13 +190,13 @@ def run_reference(concepts, sentences) -> dict[int, set]:
     return out
 
 
-def run_ours(concepts, sentences, isa_edges) -> dict[int, set]:
+def run_ours(concepts, sentences, isa_edges, mode="best-match") -> dict[int, set]:
     sys.path.insert(0, ROOT)
     from nobletools_spark.config import for_search_method
     from nobletools_spark.matcher.core import process_sentence
     from nobletools_spark.terminology.storage import build_dictionary
     dico = build_dictionary(concepts, isa_edges=isa_edges)
-    cfg = for_search_method("best-match")
+    cfg = for_search_method(mode)
     out: dict[int, set] = {}
     for i, s in enumerate(sentences):
         ms = set()
@@ -235,34 +244,37 @@ def main() -> int:
     sentences += extra
     print(f"{len(FIXTURE_CONCEPTS)} concepts, {len(sentences)} sentences")
 
-    ref = run_reference(FIXTURE_CONCEPTS, sentences)
-    ours = run_ours(FIXTURE_CONCEPTS, sentences, FIXTURE_ISA_EDGES)
-
-    # exact-set diff + the P/R acceptance metric on (cui, span) keys
-    mismatched = 0
-    tp = fp = fn = 0
-    for i, s in enumerate(sentences):
-        a, b = ref[i], ours[i]
-        ka = {(c, anns) for c, _, _, anns in a}
-        kb = {(c, anns) for c, _, _, anns in b}
-        tp += len(ka & kb)
-        fp += len(kb - ka)
-        fn += len(ka - kb)
-        if a != b:
-            mismatched += 1
-            if mismatched <= 8:
-                print(f"DIFF {s!r}")
-                for x in sorted(a - b):
-                    print("   ref-only:", x)
-                for x in sorted(b - a):
-                    print("   ours-only:", x)
-    p = tp / (tp + fp) if tp + fp else 0.0
-    r = tp / (tp + fn) if tp + fn else 0.0
-    print(f"sentences with any diff: {mismatched}/{len(sentences)}")
-    print(f"mention-key P={p:.4f} R={r:.4f} (TP={tp} FP={fp} FN={fn})")
-    ok = p >= 0.95 and r >= 0.95
-    print("P/R >= 0.95 gate:", "PASS" if ok else "FAIL")
-    return 0 if ok else 1
+    all_ok = True
+    for mode in ("best-match", "all-match", "precise-match",
+                 "nonoverlap-match", "partial-match"):
+        ref = run_reference(FIXTURE_CONCEPTS, sentences, mode)
+        ours = run_ours(FIXTURE_CONCEPTS, sentences, FIXTURE_ISA_EDGES, mode)
+        mismatched = 0
+        tp = fp = fn = 0
+        for i, s in enumerate(sentences):
+            a, b = ref[i], ours[i]
+            ka = {(c, anns) for c, _, _, anns in a}
+            kb = {(c, anns) for c, _, _, anns in b}
+            tp += len(ka & kb)
+            fp += len(kb - ka)
+            fn += len(ka - kb)
+            if a != b:
+                mismatched += 1
+                if mismatched <= 5:
+                    print(f"DIFF [{mode}] {s!r}")
+                    for x in sorted(a - b):
+                        print("   ref-only:", x)
+                    for x in sorted(b - a):
+                        print("   ours-only:", x)
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        ok = p >= 0.95 and r >= 0.95 and mismatched == 0
+        all_ok = all_ok and ok
+        print(f"{mode}: diffs {mismatched}/{len(sentences)} "
+              f"P={p:.4f} R={r:.4f} (TP={tp} FP={fp} FN={fn})"
+              + ("" if ok else "  <-- FAIL"))
+    print("overall:", "PASS" if all_ok else "FAIL")
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":
