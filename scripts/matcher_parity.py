@@ -37,6 +37,9 @@ import edu.pitt.dbmi.nlp.noble.terminology.SemanticType;
 import edu.pitt.dbmi.nlp.noble.terminology.Source;
 import edu.pitt.dbmi.nlp.noble.terminology.Term;
 import edu.pitt.dbmi.nlp.noble.terminology.impl.NobleCoderTerminology;
+import edu.pitt.dbmi.nlp.noble.tools.AcronymDetector;
+import edu.pitt.dbmi.nlp.noble.tools.NegEx;
+import edu.pitt.dbmi.nlp.noble.coder.model.Modifier;
 
 import java.io.*;
 import java.util.*;
@@ -71,8 +74,13 @@ public class DiffMain {
         PrintWriter w = new PrintWriter(new OutputStreamWriter(System.out, "UTF-8"));
         String line;
         int qi = 0;
+        AcronymDetector acro = new AcronymDetector();
         while ((line = r.readLine()) != null) {
             String[] f = line.split(us, -1);
+            if (f[0].equals("DOC")) {        // new document: clear acronyms
+                acro.clearAcronyms();
+                continue;
+            }
             if (f[0].equals("C")) {
                 Concept c = new Concept(f[1], f[2]);
                 if (!f[3].isEmpty())
@@ -100,19 +108,29 @@ public class DiffMain {
                 term.setIgnoreUsedWords(true);
                 term.setMaximumWordGap(1);
                 term.setDefaultSearchMethod(f[1]);
-            } else if (f[0].equals("Q")) {
+            } else if (f[0].equals("Q") || f[0].equals("QA")
+                       || f[0].equals("QN")) {
                 Sentence s = new Sentence(f[1], 0, Sentence.TYPE_PROSE);
                 term.process(s);
+                if (f[0].equals("QA")) acro.process(s);
+                if (f[0].equals("QN")) new NegEx().process(s);
                 for (Mention m : s.getMentions()) {
                     StringBuilder a = new StringBuilder();
                     for (Annotation an : m.getAnnotations()) {
                         if (a.length() > 0) a.append(",");
                         a.append(an.getText()).append("@").append(an.getOffset());
                     }
+                    StringBuilder mods = new StringBuilder();
+                    for (String ty : new TreeSet<String>(m.getModifierMap().keySet())) {
+                        for (Modifier mo : m.getModifierMap().get(ty)) {
+                            if (mods.length() > 0) mods.append(",");
+                            mods.append(ty).append("=").append(mo.getValue());
+                        }
+                    }
                     w.println("M" + us + qi + us + m.getConcept().getCode()
                               + us + m.getConcept().getMatchedTerm()
                               + us + m.getConcept().getScore()
-                              + us + a);
+                              + us + a + us + mods);
                 }
                 w.println("D" + us + qi);
                 qi++;
@@ -273,8 +291,136 @@ def main() -> int:
         print(f"{mode}: diffs {mismatched}/{len(sentences)} "
               f"P={p:.4f} R={r:.4f} (TP={tp} FP={fp} FN={fn})"
               + ("" if ok else "  <-- FAIL"))
+    ok2 = run_acronym_diff()
+    ok3 = run_negex_diff()
+    all_ok = all_ok and ok2 and ok3
     print("overall:", "PASS" if all_ok else "FAIL")
     return 0 if all_ok else 1
+
+
+def _reference_docs(doc_sets, qcmd) -> dict[int, set]:
+    from nobletools_spark.terminology.fixture import FIXTURE_CONCEPTS
+    lines = []
+    for c in FIXTURE_CONCEPTS:
+        terms = ",".join(f"{t[0]}:{t[1]}" for t in c.get("terms", ()))
+        lines.append(US.join([
+            "C", c["cui"], c["name"], "|".join(c.get("synonyms", ())),
+            ";".join(c.get("sem_types", ())),
+            ";".join(c.get("sources", ())), terms]))
+    lines.append(US.join(["O", "best-match"]))
+    for doc in doc_sets:
+        lines.append("DOC")
+        for s in doc:
+            lines.append(US.join([qcmd, s]))
+    proc = subprocess.run(
+        ["java", "-cp", CP, "DiffMain"], cwd=SCRATCH,
+        input="\n".join(lines), capture_output=True, text=True, timeout=600)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-800:])
+    out: dict[int, set] = {}
+    for line in proc.stdout.splitlines():
+        f = line.split(US)
+        if f[0] == "M":
+            qi = int(f[1])
+            anns = tuple(sorted(
+                (a.rsplit("@", 1)[0], int(a.rsplit("@", 1)[1]))
+                for a in f[5].split(",") if a))
+            mods = tuple(sorted(f[6].split(","))) if len(f) > 6 and f[6] else ()
+            out.setdefault(qi, set()).add((f[2], anns, mods))
+        elif f[0] == "D":
+            out.setdefault(int(f[1]), set())
+    return out
+
+
+ACRO_DOCS = [
+    ["Patient diagnosed with ductal carcinoma in situ (DCIS) today.",
+     "The DCIS was excised.",
+     "No recurrence of DCIS."],
+    ["Patient has high blood pressure (HBP) per chart.",
+     "HBP well controlled today."],
+    ["We performed fluorescence in situ hybridization (FISH) assay.",
+     "FISH results were positive."],
+    ["The DCIS was noted.",          # no definition in this doc
+     "Deep margin (DM) is clear.",
+     "DM involved by tumor."],
+]
+
+
+def run_acronym_diff() -> bool:
+    sys.path.insert(0, ROOT)
+    from nobletools_spark.config import for_search_method
+    from nobletools_spark.context.acronyms import AcronymState
+    from nobletools_spark.matcher.core import process_sentence
+    from nobletools_spark.terminology.fixture import (FIXTURE_CONCEPTS,
+                                                      fixture_dictionary)
+    ref = _reference_docs(ACRO_DOCS, "QA")
+    dico = fixture_dictionary()
+    cfg = for_search_method("best-match")
+    qi = 0
+    bad = 0
+    for doc in ACRO_DOCS:
+        state = AcronymState(dico)
+        for s in doc:
+            ms = state.process(s, process_sentence(s, dico, cfg))
+            ours = {(m.cui, tuple(sorted((t, o) for t, o in m.annotations)), ())
+                    for m in ms}
+            got = {(c, a, ()) for c, a, _ in ref.get(qi, set())}
+            if ours != got:
+                bad += 1
+                print(f"ACRO DIFF {s!r}")
+                for x in sorted(got - ours):
+                    print("   ref-only :", x)
+                for x in sorted(ours - got):
+                    print("   ours-only:", x)
+            qi += 1
+    print(f"acronym doc-pass: {qi} sentences, {bad} diffs"
+          + ("" if bad == 0 else "  <-- FAIL"))
+    return bad == 0
+
+
+NEGEX_SENTS = [
+    "Patient denies fever or chills.",
+    "Rash is absent.",
+    "No fever but rash was seen.",
+    "Melanoma cannot be assessed.",
+    "No increase in rash.",
+    "There is no evidence of melanoma.",
+    "Fever was ruled out yesterday.",
+    "Not likely melanoma, however rash is present.",
+    "The patient was not seen for fever.",
+    "Free of cancer; asthma not identified.",
+]
+
+
+def run_negex_diff() -> bool:
+    sys.path.insert(0, ROOT)
+    from nobletools_spark.config import for_search_method
+    from nobletools_spark.context import negex as NX
+    from nobletools_spark.matcher.core import process_sentence
+    from nobletools_spark.terminology.fixture import fixture_dictionary
+    ref = _reference_docs([NEGEX_SENTS], "QN")
+    dico = fixture_dictionary()
+    cfg = for_search_method("best-match")
+    bad = 0
+    for qi, s in enumerate(NEGEX_SENTS):
+        mentions = process_sentence(s, dico, cfg)
+        mods = NX.process(s, mentions)
+        ours = set()
+        for m, lst in zip(mentions, mods):
+            key = tuple(sorted((t, o) for t, o in m.annotations))
+            mv = tuple(sorted({f"{x.type}={x.value}" for x in lst}))
+            ours.add((m.cui, key, mv))
+        got = ref.get(qi, set())
+        if ours != got:
+            bad += 1
+            print(f"NEGEX DIFF {s!r}")
+            for x in sorted(got - ours):
+                print("   ref-only :", x)
+            for x in sorted(ours - got):
+                print("   ours-only:", x)
+    print(f"negex: {len(NEGEX_SENTS)} sentences, {bad} diffs"
+          + ("" if bad == 0 else "  <-- FAIL"))
+    return bad == 0
 
 
 if __name__ == "__main__":
