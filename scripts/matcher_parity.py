@@ -40,6 +40,8 @@ import edu.pitt.dbmi.nlp.noble.terminology.impl.NobleCoderTerminology;
 import edu.pitt.dbmi.nlp.noble.tools.AcronymDetector;
 import edu.pitt.dbmi.nlp.noble.tools.NegEx;
 import edu.pitt.dbmi.nlp.noble.coder.model.Modifier;
+import edu.pitt.dbmi.nlp.noble.terminology.Relation;
+import edu.pitt.dbmi.nlp.noble.tools.ConText;
 
 import java.io.*;
 import java.util.*;
@@ -75,6 +77,23 @@ public class DiffMain {
         String line;
         int qi = 0;
         AcronymDetector acro = new AcronymDetector();
+        // strict modifier terminology for the ConText differential
+        NobleCoderTerminology mod = new NobleCoderTerminology();
+        mod.setDefaultSearchMethod(NobleCoderTerminology.CUSTOM_MATCH);
+        mod.setContiguousMode(true);
+        mod.setSubsumptionMode(false);
+        mod.setOverlapMode(true);
+        mod.setPartialMode(false);
+        mod.setOrderedMode(true);
+        mod.setMaximumWordGap(0);
+        mod.setScoreConcepts(false);
+        mod.setHandlePossibleAcronyms(false);
+        mod.setStemWords(false);
+        mod.setStripStopWords(false);
+        mod.setIgnoreSmallWords(false);
+        mod.setIgnoreDigits(false);
+        mod.setSemanticTypeFilter(ConText.SEMTYPE_INSTANCE);
+        ConText context = null;
         while ((line = r.readLine()) != null) {
             String[] f = line.split(us, -1);
             if (f[0].equals("DOC")) {        // new document: clear acronyms
@@ -100,6 +119,29 @@ public class DiffMain {
                     }
                 }
                 term.addConcept(c);
+            } else if (f[0].equals("X")) {
+                // modifier lexicon concept:
+                // X cui name syn|syn st;st prop=val;... rel=c1|c2;rel=...
+                Concept c = new Concept(f[1], f[2]);
+                if (!f[3].isEmpty()) c.setSynonyms(f[3].split("\\|"));
+                if (!f[4].isEmpty())
+                    for (String st : f[4].split(";"))
+                        c.addSemanticType(SemanticType.getSemanticType(st));
+                if (!f[5].isEmpty())
+                    for (String pv : f[5].split(";")) {
+                        int i = pv.indexOf('=');
+                        c.addProperty(pv.substring(0, i), pv.substring(i + 1));
+                    }
+                if (!f[6].isEmpty())
+                    for (String rv : f[6].split(";")) {
+                        int i = rv.indexOf('=');
+                        Relation rel = Relation.getRelation(rv.substring(0, i));
+                        for (String tgt : rv.substring(i + 1).split("\\|"))
+                            c.addRelatedConcept(rel, tgt);
+                    }
+                mod.addConcept(c);
+            } else if (f[0].equals("CTX")) {
+                context = new ConText(mod);
             } else if (f[0].equals("O")) {
                 // process() re-applies setupSearch(defaultSearchMethod),
                 // so the mode MUST go through setDefaultSearchMethod;
@@ -109,11 +151,12 @@ public class DiffMain {
                 term.setMaximumWordGap(1);
                 term.setDefaultSearchMethod(f[1]);
             } else if (f[0].equals("Q") || f[0].equals("QA")
-                       || f[0].equals("QN")) {
+                       || f[0].equals("QN") || f[0].equals("QC")) {
                 Sentence s = new Sentence(f[1], 0, Sentence.TYPE_PROSE);
                 term.process(s);
                 if (f[0].equals("QA")) acro.process(s);
                 if (f[0].equals("QN")) new NegEx().process(s);
+                if (f[0].equals("QC")) context.process(s);
                 for (Mention m : s.getMentions()) {
                     StringBuilder a = new StringBuilder();
                     for (Annotation an : m.getAnnotations()) {
@@ -293,7 +336,8 @@ def main() -> int:
               + ("" if ok else "  <-- FAIL"))
     ok2 = run_acronym_diff()
     ok3 = run_negex_diff()
-    all_ok = all_ok and ok2 and ok3
+    ok4 = run_context_diff()
+    all_ok = all_ok and ok2 and ok3 and ok4
     print("overall:", "PASS" if all_ok else "FAIL")
     return 0 if all_ok else 1
 
@@ -419,6 +463,132 @@ def run_negex_diff() -> bool:
             for x in sorted(ours - got):
                 print("   ours-only:", x)
     print(f"negex: {len(NEGEX_SENTS)} sentences, {bad} diffs"
+          + ("" if bad == 0 else "  <-- FAIL"))
+    return bad == 0
+
+
+
+
+CONTEXT_SENTS = [
+    "There is no evidence of melanoma in the margins.",
+    "The melanoma is present.",
+    "Skin rash is absent.",
+    "Family history of breast cancer.",
+    "History of diabetes.",
+    "Findings suspicious for melanoma.",
+    "No rash but fever is noted.",
+    "No change in the melanoma.",
+    "Patient denies fever and presents without rash.",
+    "No evidence of skin cancer; possible dysplastic nevus.",
+    "Prior melanoma was excised without difficulty.",
+    "Mother had breast cancer, however the patient has asthma.",
+    "No fever, no rash, no headache today.",
+    "Probable hypertension; diabetes is ruled out.",
+    "Negative for melanoma but positive for nevus.",
+]
+
+
+def _context_corpus():
+    from nobletools_spark.pipeline.documents import generate_documents_local
+    from nobletools_spark.sentence.splitter import (filter_sentence,
+                                                    process_document)
+    out = list(CONTEXT_SENTS)
+    for _, spans in generate_documents_local(40, seed=77):
+        for sp in spans:
+            if sp["kind"] != "text" or not sp["text"]:
+                continue
+            rows, _ = process_document(sp["text"])
+            out += [r.text.strip() for r in rows
+                    if not filter_sentence(r.text, r.sent_type)
+                    and r.text.strip() and "\n" not in r.text]
+    return out
+
+
+def _lexicon_lines():
+    from nobletools_spark.context.lexicon import (LEXICON_CONCEPTS,
+                                                  LEXICON_ISA_EDGES)
+    parents = {}
+    for child, parent in LEXICON_ISA_EDGES:
+        parents.setdefault(child, []).append(parent)
+    lines = []
+    for c in LEXICON_CONCEPTS:
+        props = dict(c.get("props", {}))
+        rels = {}
+        # hasTermination/hasPseudo are RELATIONS in the reference model
+        for rp in ("hasTermination", "hasPseudo"):
+            if rp in props:
+                rels[rp] = props.pop(rp).split(",")
+        for p in parents.get(c["cui"], []):
+            rels.setdefault("Broader", []).append(p)  # Relation.BROADER.getName() == "Broader"
+        prop_s = ";".join(f"{k}={v}" for k, v in props.items())
+        rel_s = ";".join(f"{k}={'|'.join(v)}" for k, v in rels.items())
+        lines.append(US.join([
+            "X", c["cui"], c["name"], "|".join(c.get("synonyms", ())),
+            ";".join(c.get("sem_types", ())), prop_s, rel_s]))
+    return lines
+
+
+def run_context_diff() -> bool:
+    sys.path.insert(0, ROOT)
+    from nobletools_spark.config import for_search_method
+    from nobletools_spark.context.context import ConTextEngine
+    from nobletools_spark.context.lexicon import modifier_dictionary
+    from nobletools_spark.matcher.core import process_sentence
+    from nobletools_spark.terminology.fixture import (FIXTURE_CONCEPTS,
+                                                      fixture_dictionary)
+    lines = []
+    for c in FIXTURE_CONCEPTS:
+        terms = ",".join(f"{t[0]}:{t[1]}" for t in c.get("terms", ()))
+        lines.append(US.join([
+            "C", c["cui"], c["name"], "|".join(c.get("synonyms", ())),
+            ";".join(c.get("sem_types", ())),
+            ";".join(c.get("sources", ())), terms]))
+    lines += _lexicon_lines()
+    sentences = _context_corpus()
+    lines.append("CTX")
+    lines.append(US.join(["O", "best-match"]))
+    for s in sentences:
+        lines.append(US.join(["QC", s]))
+    proc = subprocess.run(
+        ["java", "-cp", CP, "DiffMain"], cwd=SCRATCH,
+        input="\n".join(lines), capture_output=True, text=True, timeout=600)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-800:])
+    ref: dict[int, set] = {}
+    for line in proc.stdout.splitlines():
+        f = line.split(US)
+        if f[0] == "M":
+            qi = int(f[1])
+            anns = tuple(sorted(
+                (a.rsplit("@", 1)[0], int(a.rsplit("@", 1)[1]))
+                for a in f[5].split(",") if a))
+            mods = tuple(sorted(set(f[6].split(",")))) if len(f) > 6 and f[6] else ()
+            ref.setdefault(qi, set()).add((f[2], anns, mods))
+        elif f[0] == "D":
+            ref.setdefault(int(f[1]), set())
+
+    dico = fixture_dictionary()
+    engine = ConTextEngine(modifier_dictionary())
+    cfg = for_search_method("best-match")
+    bad = 0
+    for qi, s in enumerate(sentences):
+        mentions = process_sentence(s, dico, cfg)
+        slots = engine.process(s, mentions)
+        ours = set()
+        for m, slot in zip(mentions, slots):
+            key = tuple(sorted((t, o) for t, o in m.annotations))
+            mv = tuple(sorted({f"{t}={x.value}" for t, lst in slot.items()
+                               for x in lst}))
+            ours.add((m.cui, key, mv))
+        got = ref.get(qi, set())
+        if ours != got:
+            bad += 1
+            print(f"CONTEXT DIFF {s!r}")
+            for x in sorted(got - ours):
+                print("   ref-only :", x)
+            for x in sorted(ours - got):
+                print("   ours-only:", x)
+    print(f"context: {len(sentences)} sentences, {bad} diffs"
           + ("" if bad == 0 else "  <-- FAIL"))
     return bad == 0
 

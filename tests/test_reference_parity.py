@@ -71,3 +71,7 @@ def test_negex_identical(harness):
 def test_text_layer_identical(harness):
     import texttools_parity as TP
     assert TP.main() == 0
+
+
+def test_context_identical(harness):
+    assert harness.run_context_diff()
