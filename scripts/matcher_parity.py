@@ -42,6 +42,7 @@ import edu.pitt.dbmi.nlp.noble.tools.NegEx;
 import edu.pitt.dbmi.nlp.noble.coder.model.Modifier;
 import edu.pitt.dbmi.nlp.noble.terminology.Relation;
 import edu.pitt.dbmi.nlp.noble.tools.ConText;
+import edu.pitt.dbmi.nlp.noble.tools.TermFilter;
 
 import java.io.*;
 import java.util.*;
@@ -140,6 +141,11 @@ public class DiffMain {
                             c.addRelatedConcept(rel, tgt);
                     }
                 mod.addConcept(c);
+            } else if (f[0].equals("TF")) {
+                StringBuilder b = new StringBuilder("F");
+                for (String t : TermFilter.filter(f[1]))
+                    b.append(us).append(t);
+                w.println(b.toString());
             } else if (f[0].equals("CTX")) {
                 context = new ConText(mod);
             } else if (f[0].equals("O")) {
@@ -337,7 +343,8 @@ def main() -> int:
     ok2 = run_acronym_diff()
     ok3 = run_negex_diff()
     ok4 = run_context_diff()
-    all_ok = all_ok and ok2 and ok3 and ok4
+    ok5 = run_termfilter_diff()
+    all_ok = all_ok and ok2 and ok3 and ok4 and ok5
     print("overall:", "PASS" if all_ok else "FAIL")
     return 0 if all_ok else 1
 
@@ -589,6 +596,45 @@ def run_context_diff() -> bool:
             for x in sorted(ours - got):
                 print("   ours-only:", x)
     print(f"context: {len(sentences)} sentences, {bad} diffs"
+          + ("" if bad == 0 else "  <-- FAIL"))
+    return bad == 0
+
+
+TERMFILTER_CASES = [
+    "ADHESIVE @@ BANDAGE", "EC 2.7.1.112", "Leukemia NOS",
+    "Unclassified sequences", "Other malignant neoplasm",
+    "Structure of kidney", "Left kidney", "Right upper lobe",
+    "Failure, Renal", "Alzheimer's disease", "Chondria <beetle>",
+    "Surgical intervention (finding)", "Gluten-free foods [generic 1]",
+    "Selective Serotonin Reuptake Inhibitors (SSRIs)",
+    "Malignant melanoma", "Head and Neck Squamous Cell Carcinoma",
+    "skin tag", "NEC", "nos", "unspecified fracture",
+    "carcinoma, ductal", "mole of skin", "Entire kidney",
+    "melanoma NOS", "tumor, benign", "World Health Organization (WHO)",
+    "deep margin", "cancer of the skin", "miscellaneous disorders",
+    "no abnormality", "breast carcinoma (disorder)",
+]
+
+
+def run_termfilter_diff() -> bool:
+    sys.path.insert(0, ROOT)
+    from nobletools_spark.terminology.termfilter import filter_term
+    lines = [US.join(["TF", t]) for t in TERMFILTER_CASES]
+    proc = subprocess.run(
+        ["java", "-cp", CP, "DiffMain"], cwd=SCRATCH,
+        input="\n".join(lines), capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-500:])
+    outs = [l for l in proc.stdout.splitlines() if l.startswith("F")]
+    bad = 0
+    for t, line in zip(TERMFILTER_CASES, outs):
+        body = line[1:]
+        ref = set(x for x in body.split(US) if x != "") if body else set()
+        ours = set(filter_term(t))
+        if ref != ours:
+            bad += 1
+            print(f"TERMFILTER DIFF {t!r}: ref={sorted(ref)} ours={sorted(ours)}")
+    print(f"termfilter: {len(TERMFILTER_CASES)} terms, {bad} diffs"
           + ("" if bad == 0 else "  <-- FAIL"))
     return bad == 0
 

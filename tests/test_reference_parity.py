@@ -75,3 +75,7 @@ def test_text_layer_identical(harness):
 
 def test_context_identical(harness):
     assert harness.run_context_diff()
+
+
+def test_termfilter_identical(harness):
+    assert harness.run_termfilter_diff()
