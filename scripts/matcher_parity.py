@@ -43,6 +43,7 @@ import edu.pitt.dbmi.nlp.noble.coder.model.Modifier;
 import edu.pitt.dbmi.nlp.noble.terminology.Relation;
 import edu.pitt.dbmi.nlp.noble.tools.ConText;
 import edu.pitt.dbmi.nlp.noble.tools.TermFilter;
+import edu.pitt.dbmi.nlp.noble.util.PathHelper;
 
 import java.io.*;
 import java.util.*;
@@ -141,6 +142,20 @@ public class DiffMain {
                             c.addRelatedConcept(rel, tgt);
                     }
                 mod.addConcept(c);
+            } else if (f[0].equals("R")) {
+                // attach a BROADER edge to an existing anchor concept
+                Concept c = term.lookupConcept(f[1]);
+                c.addRelatedConcept(Relation.BROADER, f[2]);
+                term.getStorage().getConceptMap().put(f[1], c.getContent());
+            } else if (f[0].equals("PH")) {
+                PathHelper ph = new PathHelper(term);
+                StringBuilder b = new StringBuilder("A");
+                Map<Concept, Integer> anc =
+                    ph.findAncestors(term.lookupConcept(f[1]));
+                for (Concept ac : anc.keySet())
+                    b.append(us).append(ac.getCode()).append(":")
+                     .append(anc.get(ac));
+                w.println(b.toString());
             } else if (f[0].equals("TF")) {
                 StringBuilder b = new StringBuilder("F");
                 for (String t : TermFilter.filter(f[1]))
@@ -344,7 +359,8 @@ def main() -> int:
     ok3 = run_negex_diff()
     ok4 = run_context_diff()
     ok5 = run_termfilter_diff()
-    all_ok = all_ok and ok2 and ok3 and ok4 and ok5
+    ok6 = run_ancestors_diff()
+    all_ok = all_ok and ok2 and ok3 and ok4 and ok5 and ok6
     print("overall:", "PASS" if all_ok else "FAIL")
     return 0 if all_ok else 1
 
@@ -635,6 +651,67 @@ def run_termfilter_diff() -> bool:
             bad += 1
             print(f"TERMFILTER DIFF {t!r}: ref={sorted(ref)} ours={sorted(ours)}")
     print(f"termfilter: {len(TERMFILTER_CASES)} terms, {bad} diffs"
+          + ("" if bad == 0 else "  <-- FAIL"))
+    return bad == 0
+
+
+def run_ancestors_diff() -> bool:
+    """PathHelper.findAncestors (BFS, min-depth, limit 7) vs the same BFS
+    our graph.hierarchy.ancestors_closure is pinned to in test_graph."""
+    sys.path.insert(0, ROOT)
+    from collections import deque
+    from nobletools_spark.terminology.fixture import (FIXTURE_CONCEPTS,
+                                                      FIXTURE_ISA_EDGES)
+    lines = []
+    for c in FIXTURE_CONCEPTS:
+        terms = ",".join(f"{t[0]}:{t[1]}" for t in c.get("terms", ()))
+        lines.append(US.join([
+            "C", c["cui"], c["name"], "|".join(c.get("synonyms", ())),
+            ";".join(c.get("sem_types", ())),
+            ";".join(c.get("sources", ())), terms]))
+    for child, parent in FIXTURE_ISA_EDGES:
+        lines.append(US.join(["R", child, parent]))
+    cuis = [c["cui"] for c in FIXTURE_CONCEPTS]
+    for cui in cuis:
+        lines.append(US.join(["PH", cui]))
+    proc = subprocess.run(
+        ["java", "-cp", CP, "DiffMain"], cwd=SCRATCH,
+        input="\n".join(lines), capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-500:])
+    outs = [l for l in proc.stdout.splitlines() if l.startswith("A")]
+
+    parents: dict[str, list[str]] = {}
+    for c, pnt in FIXTURE_ISA_EDGES:
+        parents.setdefault(c, []).append(pnt)
+
+    def bfs(start):
+        seen = {}
+        q = deque([(start, 0)])
+        while q:
+            node, d = q.popleft()
+            if d >= 7:
+                continue
+            for pnt in parents.get(node, []):
+                if pnt not in seen:
+                    seen[pnt] = d + 1
+                    q.append((pnt, d + 1))
+        return seen
+
+    bad = 0
+    for cui, line in zip(cuis, outs):
+        body = line[1:]
+        ref = {}
+        if body:
+            for part in body.split(US):
+                if part:
+                    code, d = part.rsplit(":", 1)
+                    ref[code] = int(d)
+        ours = bfs(cui)
+        if ref != ours:
+            bad += 1
+            print(f"ANCESTOR DIFF {cui}: ref={ref} ours={ours}")
+    print(f"ancestors: {len(cuis)} concepts, {bad} diffs"
           + ("" if bad == 0 else "  <-- FAIL"))
     return bad == 0
 

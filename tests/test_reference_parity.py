@@ -79,3 +79,7 @@ def test_context_identical(harness):
 
 def test_termfilter_identical(harness):
     assert harness.run_termfilter_diff()
+
+
+def test_ancestors_identical(harness):
+    assert harness.run_ancestors_diff()
