@@ -177,10 +177,18 @@ def annotate_documents(sentences: DataFrame, dico_bc, context_bc=None,
     terminology -> AcronymDetector -> ConText) lifted onto Spark: one
     shuffle on doc_id buys document-ordered sentence processing; documents
     parallelize across executors. Dictionaries ride broadcasts.
+
+    Implementation: repartition(doc_id) + sortWithinPartitions + a
+    PARTITION-level mapInPandas, NOT groupBy().applyInPandas — the latter
+    invokes Python once per doc (5k docs = 5k calls + 5k Arrow frames,
+    dominating runtime); here one Python stream handles the whole
+    partition, carrying the per-doc acronym/section state across Arrow
+    batch boundaries (sorting guarantees a doc's sentences arrive
+    contiguously even when a doc straddles two batches).
     """
     cfg = cfg or for_search_method(None)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..context.acronyms import AcronymState
         from ..context.context import ConTextEngine, _add_modifier
         from ..context import negex as NX
@@ -191,75 +199,80 @@ def annotate_documents(sentences: DataFrame, dico_bc, context_bc=None,
             cdico = context_bc.value if hasattr(context_bc, "value") else context_bc
             engine = ConTextEngine(cdico)
 
-        out: dict[str, list] = {f.name: [] for f in ANNOTATED_SCHEMA.fields}
-        pdf = pdf.sort_values(["doc_id", "sent_id"])
+        # doc-scoped state carried across Arrow batches of this partition
         state: AcronymState | None = None
         cur_doc = None
         section_mods: list = []
-        for doc_id, sent_id, sent_type, text, offset in zip(
-                pdf["doc_id"], pdf["sent_id"], pdf["sent_type"],
-                pdf["text"], pdf["offset"]):
-            if doc_id != cur_doc:
-                cur_doc = doc_id
-                state = AcronymState(dico)  # cleared per doc (:273)
-                section_mods = []
-            stext = SP.filter_deid_tags(text) if deid_scrub else text
 
-            # section headers aren't coded, but section-action modifiers
-            # found in them scope every mention until the next header
-            # (ConText HAS_SECTION_ACTION; headers survive only when the
-            # caller split with filter_headers=False)
-            if sent_type == SP.TYPE_HEADER:
-                section_mods = (engine.section_modifiers(stext)
-                                if engine is not None else [])
-                continue
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in ANNOTATED_SCHEMA.fields}
+            for doc_id, sent_id, sent_type, text, offset in zip(
+                    pdf["doc_id"], pdf["sent_id"], pdf["sent_type"],
+                    pdf["text"], pdf["offset"]):
+                if doc_id != cur_doc:
+                    cur_doc = doc_id
+                    state = AcronymState(dico)  # cleared per doc (:273)
+                    section_mods = []
+                stext = SP.filter_deid_tags(text) if deid_scrub else text
 
-            mentions = process_sentence(stext, dico, cfg)
-            mentions = state.process(stext, mentions)
+                # section headers aren't coded, but section-action
+                # modifiers found in them scope every mention until the
+                # next header (ConText HAS_SECTION_ACTION; headers survive
+                # only when the caller split with filter_headers=False)
+                if sent_type == SP.TYPE_HEADER:
+                    section_mods = (engine.section_modifiers(stext)
+                                    if engine is not None else [])
+                    continue
 
-            mods_per_mention: list[dict[str, str]]
-            if engine is not None:
-                slots = engine.process(stext, mentions)
-                for slot, target in zip(slots, mentions):
-                    for smod in section_mods:
-                        # local sentence modifiers win over section scope
-                        # (NobleMentions.process:158-169)
-                        cur = slot.get(smod.type, [])
-                        if all(m.is_default for m in cur):
-                            _add_modifier(slot, smod, target)
-                mods_per_mention = [
-                    {t: ",".join(m.value for m in lst)
-                     for t, lst in slot.items()}
-                    for slot in slots]
-            elif negex:
-                nmods = NX.process(stext, mentions)
-                mods_per_mention = [
-                    {m.type: m.value for m in lst} for lst in nmods]
-            else:
-                mods_per_mention = [{} for _ in mentions]
+                mentions = process_sentence(stext, dico, cfg)
+                mentions = state.process(stext, mentions)
 
-            for m, mods in zip(mentions, mods_per_mention):
-                anns = [{"text": t, "offset": int(offset) + o}
-                        for t, o in m.annotations]
-                out["doc_id"].append(doc_id)
-                out["sent_id"].append(int(sent_id))
-                out["cui"].append(m.cui)
-                out["concept_name"].append(m.concept_name)
-                out["matched_term"].append(m.matched_term)
-                out["normalized_term"].append(m.normalized_term)
-                out["score"].append(float(m.score))
-                out["annotations"].append(anns)
-                out["start"].append(anns[0]["offset"] if anns else -1)
-                out["end"].append(max(a["offset"] + len(a["text"]) for a in anns)
-                                  if anns else -1)
-                out["sem_types"].append(list(m.sem_types))
-                out["sources"].append(list(m.sources))
-                out["modifiers"].append(mods)
-        return pd.DataFrame(out) if out["doc_id"] else pd.DataFrame(
-            {f.name: pd.Series(dtype=object) for f in ANNOTATED_SCHEMA.fields})
+                mods_per_mention: list[dict[str, str]]
+                if engine is not None:
+                    slots = engine.process(stext, mentions)
+                    for slot, target in zip(slots, mentions):
+                        for smod in section_mods:
+                            # local sentence modifiers win over section
+                            # scope (NobleMentions.process:158-169)
+                            cur = slot.get(smod.type, [])
+                            if all(m.is_default for m in cur):
+                                _add_modifier(slot, smod, target)
+                    mods_per_mention = [
+                        {t: ",".join(m.value for m in lst)
+                         for t, lst in slot.items()}
+                        for slot in slots]
+                elif negex:
+                    nmods = NX.process(stext, mentions)
+                    mods_per_mention = [
+                        {m.type: m.value for m in lst} for lst in nmods]
+                else:
+                    mods_per_mention = [{} for _ in mentions]
 
-    return (sentences.groupBy("doc_id")
-            .applyInPandas(run, schema=ANNOTATED_SCHEMA))
+                for m, mods in zip(mentions, mods_per_mention):
+                    anns = [{"text": t, "offset": int(offset) + o}
+                            for t, o in m.annotations]
+                    out["doc_id"].append(doc_id)
+                    out["sent_id"].append(int(sent_id))
+                    out["cui"].append(m.cui)
+                    out["concept_name"].append(m.concept_name)
+                    out["matched_term"].append(m.matched_term)
+                    out["normalized_term"].append(m.normalized_term)
+                    out["score"].append(float(m.score))
+                    out["annotations"].append(anns)
+                    out["start"].append(anns[0]["offset"] if anns else -1)
+                    out["end"].append(max(a["offset"] + len(a["text"])
+                                          for a in anns) if anns else -1)
+                    out["sem_types"].append(list(m.sem_types))
+                    out["sources"].append(list(m.sources))
+                    out["modifiers"].append(mods)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    spark_parallelism = sentences.sparkSession.sparkContext.defaultParallelism
+    return (sentences
+            .repartition(spark_parallelism, "doc_id")
+            .sortWithinPartitions("doc_id", "sent_id")
+            .mapInPandas(gen, schema=ANNOTATED_SCHEMA))
 
 
 def dedup_redundant_mentions(mentions: DataFrame) -> DataFrame:
