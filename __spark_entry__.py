@@ -105,6 +105,14 @@ def _kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                                canonical=cmap)
 
 
+def _kg_root_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: depth-limited root paths over the terminology hierarchy."""
+    from nobletools_spark.graph.hierarchy import isa_edges_df, paths_to_root
+    return (paths_to_root(isa_edges_df(spark, _dico()))
+            .select("cui", F.concat_ws(">", "path").alias("path"))
+            .orderBy("cui", "path"))
+
+
 def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I-group: annotation variables over annotated mentions."""
     from nobletools_spark.context.lexicon import modifier_dictionary
@@ -142,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ancestors": _kg_ancestors,
         "kg_canonical_triples": _kg_canonical_triples,
         "kg_instances": _kg_instances,
+        "kg_root_paths": _kg_root_paths,
     })
     return out
 

@@ -61,3 +61,10 @@ def write_triples(triples: DataFrame, path: str,
     if partition_by_pred:
         w = w.partitionBy("pred")
     w.parquet(path)
+
+
+def write_eval_report(report: DataFrame, path: str) -> None:
+    """B5: the per-concept confusion report as a TSV
+    (eval/AnnotationEvaluation.java:91-105 analog)."""
+    (report.coalesce(1).write.mode("overwrite")
+     .option("sep", "\t").option("header", "true").csv(path))

@@ -845,3 +845,70 @@ def udtf_sentence_explode(spark, sf):
         SELECT s.doc_id, s.sent_idx, s.sentence
         FROM docs_udtf, LATERAL sentence_split(doc_id, text) s
         ORDER BY s.doc_id, s.sent_idx""")
+
+
+@_q("array_functions", """
+SELECT doc_id,
+       len(toks) AS n_toks,
+       list_sort(list_distinct(toks))[1] AS first_sorted,
+       CAST(list_contains(toks, 'join') AS BOOLEAN) AS has_join,
+       list_slice(toks, 1, 3) AS first3
+FROM (SELECT doc_id, string_split(trim(text), ' ') toks
+      FROM documents WHERE doc_id < 50)
+ORDER BY doc_id
+""")
+def array_functions(spark, sf):
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 50)
+    toks = F.split(F.trim("text"), " ")
+    return (d.select("doc_id", toks.alias("toks"))
+            .select("doc_id",
+                    F.size("toks").cast("long").alias("n_toks"),
+                    F.element_at(F.array_sort(F.array_distinct("toks")), 1)
+                    .alias("first_sorted"),
+                    F.array_contains("toks", "join").alias("has_join"),
+                    F.slice("toks", 1, 3).alias("first3"))
+            .orderBy("doc_id"))
+
+
+@_q("higher_order_array_ops", """
+SELECT doc_id,
+       CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
+       list_transform(list_slice(toks, 1, 4), t -> upper(t)) AS up4,
+       CAST(list_reduce(list_transform(toks, t -> length(t)),
+            (a, b) -> a + b) AS BIGINT) AS total_chars
+FROM (SELECT doc_id, string_split(trim(text), ' ') toks
+      FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0)
+ORDER BY doc_id
+""")
+def higher_order_array_ops(spark, sf):
+    # filter/transform/aggregate lambdas — whole-stage-codegen'd in Spark
+    d = (load(spark, sf, "documents")
+         .where((F.col("doc_id") < 50) & (F.length(F.trim("text")) > 0)))
+    toks = F.split(F.trim("text"), " ")
+    return (d.select("doc_id", toks.alias("toks"))
+            .select("doc_id",
+                    F.size(F.filter("toks", lambda t: F.length(t) > 4))
+                    .cast("long").alias("n_long"),
+                    F.transform(F.slice("toks", 1, 4), F.upper).alias("up4"),
+                    F.aggregate(F.transform("toks", F.length), F.lit(0),
+                                lambda a, b: a + b).cast("long")
+                    .alias("total_chars"))
+            .orderBy("doc_id"))
+
+
+@_q("lateral_explode_join", """
+SELECT t.doc_id, tok, count(*) AS n
+FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents WHERE doc_id < 100) t
+WHERE tok IN ('join', 'hash', 'scan', 'merge')
+GROUP BY t.doc_id, tok
+ORDER BY t.doc_id, tok
+""")
+def lateral_explode_join(spark, sf):
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return (d.select("doc_id",
+                     F.explode(F.split(F.trim("text"), " ")).alias("tok"))
+            .where(F.col("tok").isin("join", "hash", "scan", "merge"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("doc_id", "tok"))
