@@ -150,3 +150,30 @@ def detect_mentions_shuffle(sentences: DataFrame,
     return (joined
             .select("doc_id", "sent_id", "text", "offset", "cand")
             .mapInPandas(run, schema=MENTIONS_SCHEMA))
+
+
+# broadcast budget above which the match flips to the shuffle-join path
+# (Spark's own autoBroadcastJoinThreshold analog for the dictionary)
+BROADCAST_BUDGET_BYTES = 512 * 1024 * 1024
+
+
+def estimate_dictionary_bytes(dico: Dictionary) -> int:
+    """Cheap pickled-size estimate of the broadcast payload."""
+    import pickle
+    return len(pickle.dumps(dico, protocol=pickle.HIGHEST_PROTOCOL))
+
+
+def detect_mentions_auto(sentences: DataFrame, dico: Dictionary,
+                         tables: dict[str, DataFrame] | None = None,
+                         cfg: SearchConfig | None = None,
+                         budget_bytes: int = BROADCAST_BUDGET_BYTES
+                         ) -> DataFrame:
+    """Physical-plan decision the reference makes implicitly by JDBM
+    paging: broadcast the dictionary when it fits the budget, else run the
+    shuffle-join candidate pipeline over the persisted tables (requires
+    ``tables``; falls back to broadcast with a warning otherwise)."""
+    from .stages import detect_mentions
+    if estimate_dictionary_bytes(dico) <= budget_bytes or tables is None:
+        bc = sentences.sparkSession.sparkContext.broadcast(dico)
+        return detect_mentions(sentences, bc, cfg)
+    return detect_mentions_shuffle(sentences, tables, cfg, base_dico=dico)

@@ -123,3 +123,30 @@ def running_user_totals(events: DataFrame,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def correlated_event_pairs(events: DataFrame,
+                           max_lag: str = "2 minutes",
+                           watermark: str = "5 minutes") -> DataFrame:
+    """Stream-stream interval join: error events joined to the same
+    user's preceding purchase-class events within ``max_lag``. Watermarks
+    on BOTH sides bound the join state. Works on batch frames too (the
+    interval predicate is the same)."""
+    base = events.select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                         "event_type", "value")
+    a = base.where(F.col("event_type") == "error") \
+            .withColumnRenamed("ts", "err_ts") \
+            .withColumnRenamed("value", "err_value").drop("event_type")
+    b = base.where(F.col("event_type") != "error") \
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("ts").alias("prior_ts"),
+                    F.col("event_type").alias("prior_type"))
+    if events.isStreaming:
+        a = a.withWatermark("err_ts", watermark)
+        b = b.withWatermark("prior_ts", watermark)
+    cond = ((a.user_id == b.b_user)
+            & (b.prior_ts <= a.err_ts)
+            & (b.prior_ts >= a.err_ts - F.expr(f"INTERVAL {max_lag}")))
+    return (a.join(b, cond)
+            .select("user_id", "err_ts", "err_value", "prior_ts",
+                    "prior_type"))

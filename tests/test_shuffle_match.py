@@ -62,3 +62,25 @@ class TestShuffleMatchParity:
         out = detect_mentions_shuffle(sents, tables,
                                       for_search_method("best-match"))
         assert out.count() == 0
+
+
+class TestAutoPathSelection:
+    def test_small_dictionary_broadcasts(self, spark, tables, sentences):
+        from nobletools_spark.pipeline.shuffle_match import (
+            detect_mentions_auto, estimate_dictionary_bytes)
+        from nobletools_spark.terminology.fixture import fixture_dictionary
+        dico = fixture_dictionary()
+        assert estimate_dictionary_bytes(dico) < 10_000_000
+        out = detect_mentions_auto(sentences, dico)
+        assert out.count() > 0
+
+    def test_budget_forces_shuffle_path(self, spark, tables, sentences):
+        from nobletools_spark.pipeline.shuffle_match import detect_mentions_auto
+        from nobletools_spark.terminology.build import dictionary_from_tables
+        dico = dictionary_from_tables(tables)
+        dico.word_map = {r.word: tuple(r.terms)
+                         for r in tables["word_index_compact"].collect()}
+        dico.blacklist = {}
+        out = detect_mentions_auto(sentences, dico, tables=tables,
+                                   budget_bytes=1)  # force shuffle path
+        assert out.count() > 0
