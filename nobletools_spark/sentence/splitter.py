@@ -200,22 +200,32 @@ def process_document(text: str, doc_type: str = TYPE_MEDICAL_REPORT,
         else:
             t = TYPE_WORKSHEET if is_synoptic(region) else TYPE_LINE
             rows.append(SentenceRow(region, offs, t))
-        # header typing: first sentence covering a section title
+        # header typing (parseSentences:297-324): the first sentence must be
+        # CONTAINED in a section (first section in list order wins —
+        # Document.getSection), and then cover that section's title span.
+        # NB containment uses the sentence WITH its phantom trailing '\n'
+        # pad, so a final region running past the section end is NOT split
+        # — reference parity (the docproc differential pinned this).
         if rows:
             first = rows[0]
-            for sec in sections:
+            first_end = first.offset + len(first.text)
+            sec = next((sc for sc in sections
+                        if sc.title_offset <= first.offset
+                        and first_end <= sc.end), None)
+            if sec is not None:
                 title_end = sec.title_offset + len(sec.title)
                 if (first.offset <= sec.title_offset
-                        and title_end <= first.offset + len(first.text)):
+                        and title_end <= first_end):
                     en = title_end - first.offset
                     rest = first.text[en:]
                     if rest.strip():
-                        head = SentenceRow(first.text[:en], first.offset, TYPE_HEADER)
-                        tail = SentenceRow(rest, first.offset + en, first.sent_type)
+                        head = SentenceRow(first.text[:en], first.offset,
+                                           TYPE_HEADER)
+                        tail = SentenceRow(rest, first.offset + en,
+                                           first.sent_type)
                         rows = [head, tail] + rows[1:]
                     else:
                         first.sent_type = TYPE_HEADER
-                    break
         sentences.extend(rows)
 
     offset = 0

@@ -44,6 +44,9 @@ import edu.pitt.dbmi.nlp.noble.terminology.Relation;
 import edu.pitt.dbmi.nlp.noble.tools.ConText;
 import edu.pitt.dbmi.nlp.noble.tools.TermFilter;
 import edu.pitt.dbmi.nlp.noble.util.PathHelper;
+import edu.pitt.dbmi.nlp.noble.coder.model.Document;
+import edu.pitt.dbmi.nlp.noble.coder.model.Section;
+import edu.pitt.dbmi.nlp.noble.coder.processor.DocumentProcessor;
 
 import java.io.*;
 import java.util.*;
@@ -142,6 +145,19 @@ public class DiffMain {
                             c.addRelatedConcept(rel, tgt);
                     }
                 mod.addConcept(c);
+            } else if (f[0].equals("DP")) {
+                // document processor: sections + typed sentences
+                Document d = new DocumentProcessor().process(f[1]
+                    .replace("\\n", "\n").replace("\\t", "\t"));
+                StringBuilder b = new StringBuilder("P");
+                for (Section sec : d.getSections())
+                    b.append(us).append("S|").append(sec.getTitleOffset())
+                     .append("|").append(sec.getTitle().replace("\n", "\\n"));
+                for (Sentence sn : d.getSentences())
+                    b.append(us).append(sn.getSentenceType()).append("|")
+                     .append(sn.getOffset()).append("|")
+                     .append(sn.getText().replace("\n", "\\n"));
+                w.println(b.toString());
             } else if (f[0].equals("R")) {
                 // attach a BROADER edge to an existing anchor concept
                 Concept c = term.lookupConcept(f[1]);
@@ -360,7 +376,8 @@ def main() -> int:
     ok4 = run_context_diff()
     ok5 = run_termfilter_diff()
     ok6 = run_ancestors_diff()
-    all_ok = all_ok and ok2 and ok3 and ok4 and ok5 and ok6
+    ok7 = run_docproc_diff()
+    all_ok = all_ok and ok2 and ok3 and ok4 and ok5 and ok6 and ok7
     print("overall:", "PASS" if all_ok else "FAIL")
     return 0 if all_ok else 1
 
@@ -712,6 +729,62 @@ def run_ancestors_diff() -> bool:
             bad += 1
             print(f"ANCESTOR DIFF {cui}: ref={ref} ours={ours}")
     print(f"ancestors: {len(cuis)} concepts, {bad} diffs"
+          + ("" if bad == 0 else "  <-- FAIL"))
+    return bad == 0
+
+
+def run_docproc_diff() -> bool:
+    """DocumentProcessor (sectioning, line merge, sentence typing) vs our
+    sentence/splitter.process_document on report-shaped texts."""
+    sys.path.insert(0, ROOT)
+    from nobletools_spark.pipeline.documents import generate_documents_local
+    from nobletools_spark.sentence.splitter import process_document
+
+    reports = [
+        ("FAMILY HISTORY:  Mother had breast cancer. Father had diabetes.\n"
+         "ASSESSMENT:  Patient has a skin rash today."),
+        ("CHIEF COMPLAINT:  Chest pain.\nHISTORY OF PRESENT ILLNESS:  The\n"
+         "patient reports fever and\nchills for 2.5 days. No rash.\n"
+         "PLAN:  Follow up."),
+        "Plain prose without sections. Melanoma was excised. No recurrence.",
+        "LINE ONE\nLINE TWO\nline three continues\nhere as a wrap.",
+        ("DIAGNOSIS:  Malignant melanoma.\n\n"
+         "1. Margins clear.\n2. Depth 2.5 mm.\n"),
+    ]
+    # plus generated corpus documents (joined text spans)
+    for _, spans in generate_documents_local(20, seed=55):
+        text = "".join(sp["text"] for sp in spans if sp["kind"] == "text")
+        if text:
+            reports.append(text)
+
+    lines = [US.join(["DP", r.replace("\n", "\\n")]) for r in reports]
+    proc = subprocess.run(
+        ["java", "-cp", CP, "DiffMain"], cwd=SCRATCH,
+        input="\n".join(lines), capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-500:])
+    outs = [l for l in proc.stdout.splitlines() if l.startswith("P")]
+    bad = 0
+    for text, line in zip(reports, outs):
+        body = line[1:]
+        ref = set()
+        if body:
+            for part in body.split(US):
+                if part:
+                    a, off, t = part.split("|", 2)
+                    ref.add((a, int(off), t.replace("\\n", "\n")))
+        rows, secs = process_document(text)
+        ours = {("S", sc.title_offset, sc.title) for sc in secs}
+        ours |= {(r.sent_type, r.offset, r.text) for r in rows}
+        if ref != ours:
+            bad += 1
+            if bad <= 3:
+                print(f"DOCPROC DIFF {text[:60]!r}")
+                for x in sorted(ref - ours):
+                    print("   ref-only :", x)
+                for x in sorted(ours - ref):
+                    print("   ours-only:", x)
+    print(f"docproc: {len(reports)} documents, {bad} diffs"
           + ("" if bad == 0 else "  <-- FAIL"))
     return bad == 0
 

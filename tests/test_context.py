@@ -229,9 +229,12 @@ class TestSectionScope:
         from nobletools_spark.pipeline.documents import DOCUMENTS_SCHEMA
         from nobletools_spark.pipeline.stages import (annotate_documents,
                                                       split_sentences)
+        # trailing newline keeps the final region contained in its section
+        # (reference parity: a region padded past the section end is not
+        # header-split — see the docproc differential)
         text = ("FAMILY HISTORY:  Mother had breast cancer. "
                 "Father had diabetes.\n"
-                "ASSESSMENT:  Patient has a skin rash today.")
+                "ASSESSMENT:  Patient has a skin rash today.\n")
         docs = spark.createDataFrame(
             [("s1", [{"kind": "text", "text": text, "media_ref": "",
                       "offset": 0}])], schema=DOCUMENTS_SCHEMA)
