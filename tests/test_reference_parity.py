@@ -83,3 +83,7 @@ def test_termfilter_identical(harness):
 
 def test_ancestors_identical(harness):
     assert harness.run_ancestors_diff()
+
+
+def test_document_processor_identical(harness):
+    assert harness.run_docproc_diff()
