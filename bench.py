@@ -97,7 +97,7 @@ def kg_throughput(sf_dir: str, cpus: int, entry_mod,
         run_pipeline(spark, warm, entry_mod._dico(), "best-match")["triples"].count()
 
         n_docs = base_docs * replicate
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
         best = None
         n_triples = 0
         for _ in range(max(repeats, 1)):
@@ -194,8 +194,13 @@ def _scale_probe(sf_dir: str, cpus: int, factor: int, entry_mod) -> dict:
     in-process when taskset is unavailable."""
     import shutil
     import subprocess
-    if shutil.which("taskset") and (os.cpu_count() or 0) >= cpus:
-        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+    total = os.cpu_count() or 0
+    if shutil.which("taskset") and total >= cpus:
+        # pin AWAY from cpu0/1 when possible: OS interrupts and system
+        # daemons cluster there and disproportionately jitter the
+        # small-core probe
+        lo = 2 if total >= cpus + 2 else 0
+        cmd = ["taskset", "-c", f"{lo}-{lo + cpus - 1}", sys.executable,
                os.path.abspath(__file__), "--scale-probe", str(cpus),
                str(factor)]
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
