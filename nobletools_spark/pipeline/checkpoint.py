@@ -80,7 +80,9 @@ class CheckpointManager:
         data_path, mpath = self._paths(stage)
         manifest = self._load_manifest(stage)
         if manifest is not None and manifest.get("fingerprint") == fp:
-            df = self.spark.read.parquet(data_path)
+            # drop the internal lineage column here too — resumed and fresh
+            # stages must expose the identical schema
+            df = self.spark.read.parquet(data_path).drop("_pid")
             res = StageResult(stage, df, resumed=True,
                               rows=manifest["rows"],
                               lineage=manifest["lineage"])

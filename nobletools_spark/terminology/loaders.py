@@ -139,8 +139,11 @@ MRSAB_COLS = ["VCUI", "RCUI", "VSAB", "RSAB", "SON", "SF", "SVER", "VSTART",
 
 def read_rrf(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
     """One RRF file -> DataFrame. RRF rows end with a trailing '|' so the
-    raw split carries one empty tail column, dropped here."""
-    df = spark.read.csv(path, sep="|", header=False)
+    raw split carries one empty tail column, dropped here. RRF is raw
+    pipe-delimited (the reference splits on '|' with no quoting, see
+    ConceptImporter), so CSV quoting is disabled — STR/DEF fields holding
+    double quotes must pass through verbatim."""
+    df = spark.read.csv(path, sep="|", header=False, quote="")
     if not df.columns:  # empty file
         schema = ST.StructType(
             [ST.StructField(c, ST.StringType(), True) for c in cols])
@@ -171,14 +174,20 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
         conso = conso.where(F.col("SAB").isin(list(source_filter)))
 
     # preferred-name priority per getPreferredName:870-903 folded into
-    # max_by: TS='P' & ISPREF='Y' first, then TTY PN > PT, then SUI order
+    # min_by on a struct key: TS='P' & ISPREF='Y' first, then TTY PN > PT,
+    # then ascending SUI, then STR — fully deterministic under any
+    # partitioning (struct ordering is lexicographic)
     pref_rank = (F.when((F.col("TS") == "P") & (F.col("ISPREF") == "Y"), 4)
                  .when(F.col("TTY") == "PN", 3)
                  .when(F.col("TTY") == "PT", 2)
                  .otherwise(0))
+    sui_num = F.coalesce(
+        F.expr("try_cast(substring(SUI, 2) AS BIGINT)"), F.lit(2 ** 62))
+    pref_key = F.struct((-pref_rank).alias("neg_rank"), sui_num.alias("sui"),
+                        F.col("STR").alias("str"))
 
     grouped = (conso.groupBy("CUI").agg(
-        F.max_by("STR", pref_rank + F.when(F.col("SUI").isNotNull(), 0)).alias("name"),
+        F.min_by("STR", pref_key).alias("name"),
         F.array_distinct(F.collect_list("STR")).alias("synonyms"),
         F.array_distinct(F.collect_list("SAB")).alias("sources"),
         F.array_distinct(F.collect_list(F.struct(

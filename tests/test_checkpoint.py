@@ -37,6 +37,17 @@ class TestStageCheckpoint:
         assert sorted(x["rows_out"] for x in r2.lineage) == \
             sorted(x["rows_out"] for x in r1.lineage)
 
+    def test_resumed_schema_matches_fresh(self, spark, tmp_path):
+        # ADVICE r1: resumed stages leaked the internal _pid lineage column
+        compute = lambda: spark.range(50).withColumn("v", F.col("id") + 1)
+        r1 = CheckpointManager(spark, str(tmp_path)).run_stage(
+            "s1", "fp-a", compute)
+        r2 = CheckpointManager(spark, str(tmp_path)).run_stage(
+            "s1", "fp-a", compute)
+        assert r2.resumed
+        assert r2.df.columns == r1.df.columns
+        assert "_pid" not in r2.df.columns
+
     def test_fingerprint_change_invalidates(self, spark, tmp_path):
         cm = CheckpointManager(spark, str(tmp_path))
         calls = []

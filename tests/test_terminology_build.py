@@ -285,6 +285,32 @@ class TestLoaders:
         roots = {r.cui for r in out["roots"].collect()}
         assert roots == {"C0006826"}
 
+    def test_rrf_double_quotes_pass_through(self, spark, tmp_path):
+        # RRF has no quoting: a STR holding double quotes must survive
+        # verbatim (ADVICE r1: default CSV quote char corrupted such rows)
+        (tmp_path / "MRCONSO.RRF").write_text(
+            'C0000010|ENG|P|L1|PF|S1|Y|A1||||NCI|PT|M1|"quoted" name|0|N||\n'
+            'C0000010|ENG|S|L2|PF|S2|N|A2||||NCI|SY|M1|syn "x, y" part|0|N||\n')
+        (tmp_path / "MRSTY.RRF").write_text("")
+        (tmp_path / "MRDEF.RRF").write_text("")
+        (tmp_path / "MRHIER.RRF").write_text("")
+        out = load_rrf(spark, str(tmp_path))
+        row = out["concepts"].collect()[0]
+        assert row.name == '"quoted" name'
+        assert 'syn "x, y" part' in row.synonyms
+
+    def test_rrf_preferred_name_sui_tiebreak(self, spark, tmp_path):
+        # equal pref_rank atoms: ascending SUI must decide, deterministically
+        (tmp_path / "MRCONSO.RRF").write_text(
+            "C0000020|ENG|S|L1|PF|S0000009|N|A1||||NCI|SY|M1|Zeta name|0|N||\n"
+            "C0000020|ENG|S|L2|PF|S0000002|N|A2||||NCI|SY|M1|Alpha name|0|N||\n"
+            "C0000020|ENG|S|L3|PF|S0000005|N|A3||||NCI|SY|M1|Mid name|0|N||\n")
+        (tmp_path / "MRSTY.RRF").write_text("")
+        (tmp_path / "MRDEF.RRF").write_text("")
+        (tmp_path / "MRHIER.RRF").write_text("")
+        out = load_rrf(spark, str(tmp_path))
+        assert out["concepts"].collect()[0].name == "Alpha name"
+
     def test_rrf_feeds_spark_build(self, spark, tmp_path):
         (tmp_path / "MRCONSO.RRF").write_text(
             "C0025202|ENG|P|L1|PF|S1|Y|A1||||NCI|PT|M1|Melanoma|0|N||\n"
