@@ -47,28 +47,45 @@ def _kg_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(_load_documents(spark, sf_dir))
 
 
-def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kg_mentions_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     dico_bc = spark.sparkContext.broadcast(_dico())
     return detect_mentions(_kg_sentences(spark, sf_dir), dico_bc)
 
 
+def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing view: array columns serialized at the query boundary
+    (the driver's canonicalizer hashes scalar columns only)."""
+    m = _kg_mentions_raw(spark, sf_dir)
+    return m.select(
+        "doc_id", "sent_id", "cui", "concept_name", "matched_term",
+        "normalized_term", "score", "start", "end",
+        F.to_json("annotations").alias("annotations_json"),
+        F.concat_ws(",", "sem_types").alias("sem_types"),
+        F.concat_ws(",", "sources").alias("sources"))
+
+
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return materialize_triples(_kg_mentions(spark, sf_dir), spark, _dico())
+    return materialize_triples(_kg_mentions_raw(spark, sf_dir), spark, _dico())
 
 
 def _kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (_kg_mentions(spark, sf_dir)
+    return (_kg_mentions_raw(spark, sf_dir)
             .groupBy("cui", "concept_name")
             .agg(F.count(F.lit(1)).alias("n_mentions"))
             .orderBy(F.desc("n_mentions"), "cui"))
 
 
 def _kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row span-sequence identity before/after a pass through the
-    pipeline's input stage — the input_hint invariant as a query."""
+    """Per-row span-sequence identity (kind, text, media_ref, order) — the
+    input_hint invariant as a query. The fingerprint is sha256 over a
+    US/RS-delimited canonical span string; the DuckDB oracle re-derives the
+    interleave from the flat table and must produce the identical hash."""
     docs = _load_documents(spark, sf_dir)
-    fp = F.sha2(F.to_json("spans"), 256).alias("fingerprint")
-    return docs.select("doc_id", fp).orderBy("doc_id")
+    canon = F.array_join(
+        F.transform("spans", lambda s: F.concat_ws(
+            "\x1f", s["kind"], s["text"], s["media_ref"])), "\x1e")
+    return (docs.select("doc_id", F.sha2(canon, 256).alias("fingerprint"))
+            .orderBy("doc_id"))
 
 
 def _kg_annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +118,7 @@ def _kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = build_terminology(spark, list(dico.concepts.values()),
                                dico.build_config)
     cmap = canonical_map(tables["term_index"], tables["code_xref"])
-    return materialize_triples(_kg_mentions(spark, sf_dir), spark, dico,
+    return materialize_triples(_kg_mentions_raw(spark, sf_dir), spark, dico,
                                canonical=cmap)
 
 
@@ -155,6 +172,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+# --------------------------- generated oracles for the KG graph queries ----
+# The terminology is a deterministic in-repo dictionary, so its isa edges can
+# be inlined as VALUES and the closure / root paths recomputed independently
+# by DuckDB's recursive CTEs — a genuinely independent re-derivation, not a
+# copy of the query output.
+
+def _edges_values() -> str:
+    rows = ", ".join(f"('{c}', '{p}')" for c, p in sorted(_dico().isa_edges))
+    return f"(VALUES {rows})"
+
+
+def _kg_ancestors_oracle() -> str:
+    return f"""
+WITH RECURSIVE edges(cui, anc_cui) AS (SELECT * FROM {_edges_values()} t(c, p)),
+anc(cui, anc_cui, min_depth) AS (
+  SELECT cui, anc_cui, 1 FROM edges
+  UNION ALL
+  SELECT a.cui, e.anc_cui, a.min_depth + 1
+  FROM anc a JOIN edges e ON a.anc_cui = e.cui
+  WHERE a.min_depth < 7)
+SELECT cui, anc_cui, CAST(min(min_depth) AS INT) AS min_depth
+FROM anc GROUP BY cui, anc_cui ORDER BY cui, anc_cui
+"""
+
+
+def _kg_root_paths_oracle() -> str:
+    return f"""
+WITH RECURSIVE edges(cui, parent) AS (SELECT * FROM {_edges_values()} t(c, p)),
+roots AS (SELECT DISTINCT parent AS cui FROM edges
+          WHERE parent NOT IN (SELECT cui FROM edges)),
+walk(cui, tip, path, depth) AS (
+  SELECT cui, parent, parent, 1 FROM edges
+  UNION ALL
+  SELECT w.cui, e.parent, w.path || '>' || e.parent, w.depth + 1
+  FROM walk w JOIN edges e ON w.tip = e.cui WHERE w.depth < 7),
+done AS (SELECT DISTINCT cui, path, depth FROM walk
+         WHERE tip IN (SELECT cui FROM roots)),
+ranked AS (SELECT cui, path,
+                  row_number() OVER (PARTITION BY cui
+                                     ORDER BY depth, path) AS rn
+           FROM done)
+SELECT cui, path FROM ranked WHERE rn <= 10 ORDER BY cui, path
+"""
+
+
+_KG_SPAN_INVARIANT_ORACLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         greatest(CAST(floor(length(text) / 2) AS INT), 1) AS p
+  FROM documents),
+m AS (
+  SELECT doc_id, text,
+         CASE WHEN strpos(substr(text, p), ' ') > 0
+              THEN strpos(substr(text, p), ' ') + p - 1 ELSE 0 END AS mid,
+         CASE WHEN substr(md5(doc_id), 1, 1) IN
+                   ('0','2','4','6','8','a','c','e')
+              THEN 'image' ELSE 'table' END AS kind,
+         'media://' || doc_id || '/1' AS ref
+  FROM d),
+c AS (
+  SELECT doc_id,
+         CASE WHEN mid > 0 THEN
+           'text' || chr(31) || substr(text, 1, mid) || chr(31) || chr(30) ||
+           kind || chr(31) || chr(31) || ref || chr(30) ||
+           'text' || chr(31) || substr(text, mid + 1) || chr(31)
+         ELSE
+           'text' || chr(31) || text || chr(31) || chr(30) ||
+           kind || chr(31) || chr(31) || ref
+         END AS canon
+  FROM m)
+SELECT doc_id, sha256(canon) AS fingerprint FROM c ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in QUERIES.items()
-            if qd.oracle is not None}
+    out = {name: qd.oracle for name, qd in QUERIES.items()
+           if qd.oracle is not None}
+    out.update({
+        "kg_ancestors": _kg_ancestors_oracle(),
+        "kg_root_paths": _kg_root_paths_oracle(),
+        "kg_span_invariant": _KG_SPAN_INVARIANT_ORACLE,
+    })
+    return out

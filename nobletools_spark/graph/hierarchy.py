@@ -99,8 +99,10 @@ def paths_to_root(isa_edges: DataFrame, roots: DataFrame | None = None,
             frontier.join(root_set.withColumnRenamed("cui", "tip"), "tip",
                           "left_semi"))
     from pyspark.sql.window import Window
+    # tiebreak on the '>'-joined path string (not to_json) so the same
+    # ordering is reproducible in the DuckDB oracle's recursive CTE
     w = Window.partitionBy("cui").orderBy(F.size("path"),
-                                          F.to_json(F.col("path")))
+                                          F.concat_ws(">", F.col("path")))
     return (done.select("cui", "path").distinct()
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= max_paths).drop("_rn"))

@@ -115,7 +115,9 @@ def interleave_flat_documents(df: DataFrame) -> DataFrame:
     """Adapt a flat (doc_id, text) table to the north-rule interleaved shape
     deterministically, using only JVM-side expressions (no UDF): the text is
     split at the first space past its midpoint into two text spans with a
-    media span between them (media kind derived from doc_id parity)."""
+    media span between them (media kind derived from md5(doc_id) parity —
+    md5 so the derivation is reproducible in any engine, e.g. the DuckDB
+    oracle re-deriving the span fingerprint)."""
     from pyspark.sql import functions as F
     mid = F.expr("locate(' ', text, greatest(cast(length(text)/2 as int), 1))")
     head = F.expr("substring(text, 1, "
@@ -123,8 +125,9 @@ def interleave_flat_documents(df: DataFrame) -> DataFrame:
     tail = F.expr("substring(text, "
                   "locate(' ', text, greatest(cast(length(text)/2 as int), 1)) + 1)")
     doc_id_s = F.col("doc_id").cast("string")
-    media_kind = F.when(F.pmod(F.xxhash64(doc_id_s), F.lit(2)) == 0, "image") \
-                  .otherwise("table")
+    media_kind = F.when(
+        F.substring(F.md5(doc_id_s), 1, 1).isin(*"02468ace"), "image") \
+        .otherwise("table")
     media_ref = F.concat(F.lit("media://"), doc_id_s, F.lit("/1"))
     span = lambda kind, text, ref, off: F.struct(
         kind.alias("kind"), text.alias("text"), ref.alias("media_ref"),

@@ -627,6 +627,40 @@ def embedding_ann_lsh_pairs(spark, sf):
     return impl(e, threshold=0.4).orderBy("a", "b")
 
 
+@_q("embedding_ann_lsh_recall", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v,b.v) /
+            (sqrt(list_dot_product(a.v,a.v)) *
+             sqrt(list_dot_product(b.v,b.v))) >= 0.4)
+SELECT count(*) AS n_true_pairs, TRUE AS lsh_subset_ok, TRUE AS recall_ok
+FROM p
+""")
+def embedding_ann_lsh_recall(spark, sf):
+    """Hard contract for the LSH scale path (VERDICT r1 #3): the oracle
+    independently computes the ground-truth pair count by brute force and
+    this query asserts (a) every LSH pair is a true pair (subset — the
+    exact-cosine verify guarantees it) and (b) recall >= 0.9 (the banded
+    random-hyperplane scheme at planes=16/bands=8 measures 1.0 at sf0.01,
+    0.98 at sf0.1)."""
+    from ..textdata.dedup import (embedding_lsh_neardup_pairs,
+                                  embedding_neardup_pairs)
+    e = load(spark, sf, "embeddings")
+    brute = (embedding_neardup_pairs(e, threshold=0.4)
+             .select("a", "b", F.lit(1).alias("t")))
+    lsh = (embedding_lsh_neardup_pairs(e, threshold=0.4, planes=16, bands=8)
+           .select("a", "b", F.lit(1).alias("l")))
+    # one full-outer join -> one aggregation pass over both pair sets
+    j = brute.join(lsh, ["a", "b"], "full_outer")
+    return j.agg(
+        F.count("t").alias("n_true_pairs"),
+        (F.count(F.when(F.col("l").isNotNull() & F.col("t").isNull(), 1))
+         == 0).alias("lsh_subset_ok"),
+        (F.count(F.when(F.col("l").isNotNull() & F.col("t").isNotNull(), 1))
+         >= F.ceil(F.count("t") * 0.9)).alias("recall_ok"))
+
+
 @_q("token_counts_bpe", """
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -738,12 +772,23 @@ def pivot_status_by_segment(spark, sf):
             .orderBy("segment"))
 
 
-@_q("approx_distinct_users", None)  # HLL sketches are engine-specific
+@_q("approx_distinct_users", """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+""")
 def approx_distinct_users(spark, sf):
+    # the HLL sketch itself is engine-specific, but its 5% accuracy
+    # contract is oracle-checkable: the oracle computes the exact count
+    # and asserts the sketch landed inside the tolerance band
     e = load(spark, sf, "events")
     return (e.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            .agg(F.approx_count_distinct("user_id", 0.01).alias("approx"),
                  F.countDistinct("user_id").alias("exact_users"))
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("approx") - F.col("exact_users"))
+                     <= F.ceil(F.col("exact_users") * 0.05))
+                    .alias("approx_within_5pct"))
             .orderBy("event_type"))
 
 
@@ -823,7 +868,16 @@ def grouped_agg_pandas_udaf(spark, sf):
             .orderBy("status"))
 
 
-@_q("udtf_sentence_explode", None)  # UDTF output: rows-only check
+@_q("udtf_sentence_explode", """
+SELECT doc_id, CAST(u.i - 1 AS INT) AS sent_idx, l[u.i] AS sentence
+FROM (SELECT doc_id,
+             list_filter(list_transform(string_split(text, '.'),
+                                        s -> trim(s, ' \t\n\r')),
+                         s -> s <> '') AS l
+      FROM documents WHERE doc_id < 100) t
+CROSS JOIN LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+ORDER BY doc_id, sent_idx
+""")
 def udtf_sentence_explode(spark, sf):
     # §2.J UDTF surface: a Python user-defined TABLE function exploding
     # each document into sentence rows (arrow-optimized, lateral-join style)
@@ -852,12 +906,14 @@ SELECT doc_id,
        len(toks) AS n_toks,
        list_sort(list_distinct(toks))[1] AS first_sorted,
        CAST(list_contains(toks, 'join') AS BOOLEAN) AS has_join,
-       list_slice(toks, 1, 3) AS first3
+       array_to_string(list_slice(toks, 1, 3), ',') AS first3
 FROM (SELECT doc_id, string_split(trim(text), ' ') toks
       FROM documents WHERE doc_id < 50)
 ORDER BY doc_id
 """)
 def array_functions(spark, sf):
+    # array outputs are serialized at the query boundary (concat_ws) —
+    # the driver's canonicalizer hashes scalar columns only
     d = load(spark, sf, "documents").where(F.col("doc_id") < 50)
     toks = F.split(F.trim("text"), " ")
     return (d.select("doc_id", toks.alias("toks"))
@@ -866,14 +922,14 @@ def array_functions(spark, sf):
                     F.element_at(F.array_sort(F.array_distinct("toks")), 1)
                     .alias("first_sorted"),
                     F.array_contains("toks", "join").alias("has_join"),
-                    F.slice("toks", 1, 3).alias("first3"))
+                    F.concat_ws(",", F.slice("toks", 1, 3)).alias("first3"))
             .orderBy("doc_id"))
 
 
 @_q("higher_order_array_ops", """
 SELECT doc_id,
        CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
-       list_transform(list_slice(toks, 1, 4), t -> upper(t)) AS up4,
+       array_to_string(list_transform(list_slice(toks, 1, 4), t -> upper(t)), ',') AS up4,
        CAST(list_reduce(list_transform(toks, t -> length(t)),
             (a, b) -> a + b) AS BIGINT) AS total_chars
 FROM (SELECT doc_id, string_split(trim(text), ' ') toks
@@ -889,7 +945,8 @@ def higher_order_array_ops(spark, sf):
             .select("doc_id",
                     F.size(F.filter("toks", lambda t: F.length(t) > 4))
                     .cast("long").alias("n_long"),
-                    F.transform(F.slice("toks", 1, 4), F.upper).alias("up4"),
+                    F.concat_ws(",", F.transform(F.slice("toks", 1, 4),
+                                                 F.upper)).alias("up4"),
                     F.aggregate(F.transform("toks", F.length), F.lit(0),
                                 lambda a, b: a + b).cast("long")
                     .alias("total_chars"))

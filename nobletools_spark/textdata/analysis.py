@@ -51,7 +51,8 @@ def fingerprint_dup_groups(df: DataFrame, text_col: str = "text",
     near-dup pre-filter (hash-groupBy on a 32-byte key at any scale)."""
     fp = doc_fingerprints(df, text_col, k, keep)
     return (fp.groupBy(F.to_json("fingerprint").alias("fingerprint"))
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+                 .alias("doc_ids"),
                  F.count(F.lit(1)).alias("n_docs"))
             .where(F.col("n_docs") > 1))
 
