@@ -80,11 +80,17 @@ def paths_to_root(isa_edges: DataFrame, roots: DataFrame | None = None,
                  .join(edges.select("cui"), "cui", "left_anti"))
     root_set = roots.select("cui").distinct()
 
-    # frontier: (cui, tip, path); complete when tip is a root
-    frontier = edges.select("cui", F.col("parent").alias("tip"),
-                            F.array("parent").alias("path"))
-    done = frontier.join(root_set.withColumnRenamed("cui", "tip"), "tip",
-                         "left_semi")
+    # frontier: (cui, tip, path); complete when tip is a root. Each round
+    # dedups the frontier BEFORE the next extension (multiple routes can
+    # reach the same (cui, tip, path) prefix on dense DAGs — without the
+    # distinct, frontier rows multiply geometrically) and truncates
+    # lineage with localCheckpoint, mirroring ancestors_closure.
+    edges = edges.localCheckpoint()
+    root_tips = root_set.withColumnRenamed("cui", "tip").localCheckpoint()
+    frontier = (edges.select("cui", F.col("parent").alias("tip"),
+                             F.array("parent").alias("path"))
+                .distinct().localCheckpoint())
+    done = frontier.join(root_tips, "tip", "left_semi")
     for _ in range(1, max_depth):
         frontier = (frontier.alias("f")
                     .join(edges.alias("e"),
@@ -92,12 +98,13 @@ def paths_to_root(isa_edges: DataFrame, roots: DataFrame | None = None,
                     .select(F.col("f.cui").alias("cui"),
                             F.col("e.parent").alias("tip"),
                             F.array_append("f.path", F.col("e.parent"))
-                            .alias("path")))
+                            .alias("path"))
+                    .distinct().localCheckpoint())
         if frontier.isEmpty():
             break
-        done = done.unionByName(
-            frontier.join(root_set.withColumnRenamed("cui", "tip"), "tip",
-                          "left_semi"))
+        done = (done.unionByName(
+            frontier.join(root_tips, "tip", "left_semi"))
+            .localCheckpoint())
     from pyspark.sql.window import Window
     # tiebreak on the '>'-joined path string (not to_json) so the same
     # ordering is reproducible in the DuckDB oracle's recursive CTE

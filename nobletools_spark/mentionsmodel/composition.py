@@ -9,12 +9,22 @@ schema) to the reference's NobleMentions composition:
 - annotation variables per anchor (getAnnotationVariables:1263-1290,
   anchor class ``isAnchorOf`` restrictions) — here: VariableDef rows
 - satisfaction: every required modifier slot filled with an allowed value
-  (AnnotationVariable.isSatisfied; OWL equivalence restrictions)
+  AND every declared relation slot linked (AnnotationVariable.isSatisfied;
+  OWL equivalence restrictions). Relation slots cannot be filled in the
+  first pass, so relation-bearing variables start as failed — exactly the
+  reference flow, where they fail isSatisfied() and enter failedVariables
 - most-specific-wins on identical spans (NobleMentions.process:178-195 —
   subclass replaces superclass)
-- failed-for-missing-relation retry: a variable whose only missing slot is
-  a relation to another variable re-satisfies when a good variable of the
-  target type exists in the document (process:209-236)
+- failed-for-missing-relation retry: a failed variable with defining
+  relations re-satisfies when good variables of ALL its relation-target
+  types exist in the document and all its non-relation required slots
+  hold — the reference re-runs isSatisfied() after addModifierInstance
+  (NobleMentions.process:218-228), so an impossible modifier slot is NOT
+  forgiven by a present relation target. Promotion runs to a fixpoint so
+  chains (A needs B, B needs C) resolve independent of row order
+- linked relations are materialized: each satisfied relation slot lands
+  in the instance's modifier map as slot -> target instance_id, emitting
+  (instance, relation, target_instance) triples like the OWL export
 - output = instances + (subj, pred, obj) triples, the reference's OWL
   instance export (B3) as rows
 
@@ -144,32 +154,52 @@ def compose(annotated: DataFrame, schema: DomainSchema,
     sat = F.lit(False)
     for name, cond in sat_exprs:
         sat = F.when(F.col("var_name") == name, cond).otherwise(sat)
-    cand = cand.withColumn("_satisfied", sat)
+    cand = cand.withColumn("_sat_nonrel", sat)
 
-    good = cand.where("_satisfied").drop("_satisfied")
-    failed = cand.where("NOT _satisfied").drop("_satisfied")
-
-    # relation retry: a failed variable whose def carries relation slots
-    # re-satisfies if its non-relation slots hold AND a good variable of
-    # the target type exists in the same doc (process:209-236)
+    # relation slots are part of satisfaction (isSatisfied covers them):
+    # a relation-bearing variable is only good once every relation-target
+    # type has a good variable in the same doc AND its non-relation slots
+    # hold (NobleMentions.process:218-228 re-runs isSatisfied after
+    # addModifierInstance). Fixpoint promotion handles chains.
     rel_rows = []
     for name, v in defs.items():
         for slot, target in v.relations:
             rel_rows.append((name, slot, target))
+    rel_df = None
     if rel_rows:
         rel_df = spark.createDataFrame(
             rel_rows, "var_name string, rel_slot string, rel_target string")
-        good_types = (good.select(F.col("doc_id").alias("doc_id"),
-                                  F.col("var_name").alias("rel_target"))
-                      .distinct())
-        retry = (failed.join(F.broadcast(rel_df), "var_name")
-                 .join(good_types, ["doc_id", "rel_target"], "left_semi"))
-        # non-relation slots must still hold; relation defs list required
-        # slots exclusive of the relation, so re-check satisfaction minus
-        # nothing extra here (schema convention: relations are extra)
-        good = good.unionByName(
-            retry.select(*good.columns).dropDuplicates(
-                ["doc_id", "sent_id", "cui", "start", "end", "var_name"]))
+        rel_need = {name: len({s for s, _ in v.relations})
+                    for name, v in defs.items() if v.relations}
+        need_df = spark.createDataFrame(
+            list(rel_need.items()), "var_name string, _need int")
+        is_rel_var = F.col("var_name").isin(list(rel_need))
+        good = cand.where(F.col("_sat_nonrel") & ~is_rel_var) \
+                   .drop("_sat_nonrel")
+        pending = cand.where(F.col("_sat_nonrel") & is_rel_var) \
+                      .drop("_sat_nonrel")
+        key = ["doc_id", "sent_id", "cui", "start", "end", "var_name"]
+        for _ in range(len(rel_need)):
+            good_types = (good.select("doc_id",
+                                      F.col("var_name").alias("rel_target"))
+                          .distinct())
+            hits = (pending.select(*key).distinct()
+                    .join(F.broadcast(rel_df), "var_name")
+                    .join(good_types, ["doc_id", "rel_target"], "left_semi")
+                    .groupBy(*key)
+                    .agg(F.countDistinct("rel_slot").alias("_ns")))
+            promote = (hits.join(F.broadcast(need_df), "var_name")
+                       .where(F.col("_ns") == F.col("_need")).select(*key))
+            if promote.isEmpty():
+                break
+            good = good.unionByName(
+                pending.join(promote, key, "left_semi"))
+            pending = pending.join(promote, key, "left_anti")
+        failed = (cand.where(~F.col("_sat_nonrel")).drop("_sat_nonrel")
+                  .unionByName(pending))
+    else:
+        good = cand.where("_sat_nonrel").drop("_sat_nonrel")
+        failed = cand.where("NOT _sat_nonrel").drop("_sat_nonrel")
 
     # most-specific-wins on identical (doc, span): child replaces parent
     parent_of = {v.name: v.specific_of for v in schema.variables
@@ -195,6 +225,31 @@ def compose(annotated: DataFrame, schema: DomainSchema,
     instances = good.select(
         instance_id.alias("instance_id"), "doc_id", "var_name", "cui",
         "start", "end", "modifiers").dropDuplicates(["instance_id"])
+
+    # materialize satisfied relation links: slot -> target instance_id
+    # (deterministically the min instance id of the target type in the
+    # doc), merged into the modifier map so the triple explode below
+    # emits (instance, relation, target_instance) rows
+    if rel_df is not None:
+        targets = (instances
+                   .groupBy("doc_id", F.col("var_name").alias("rel_target"))
+                   .agg(F.min("instance_id").alias("_tgt")))
+        rel_mods = (instances.select("instance_id", "doc_id", "var_name")
+                    .join(F.broadcast(rel_df), "var_name")
+                    .join(targets, ["doc_id", "rel_target"])
+                    .groupBy("instance_id", "rel_slot")
+                    .agg(F.min("_tgt").alias("_tgt"))
+                    .groupBy("instance_id")
+                    .agg(F.map_from_entries(
+                        F.collect_list(F.struct("rel_slot", "_tgt")))
+                        .alias("_rel_mods")))
+        instances = (instances.join(rel_mods, "instance_id", "left")
+                     .withColumn(
+                         "modifiers",
+                         F.when(F.col("_rel_mods").isNotNull(),
+                                F.map_concat("modifiers", "_rel_mods"))
+                         .otherwise(F.col("modifiers")))
+                     .drop("_rel_mods"))
 
     # I2 compound anchors: all components present in one sentence -> one
     # compound instance spanning their envelope

@@ -583,14 +583,62 @@ def jaccard_neardup_pairs(spark, sf):
             .orderBy("a", "b"))
 
 
-@_q("minhash_neardup_pairs", None)  # xxhash64 not reproducible in DuckDB;
-def minhash_neardup_pairs(spark, sf):  # equality to the exact pairs is
-    # pinned in tests/test_textdata.py (LSH recall check)
+_JACCARD_PAIRS_CTE = """
+d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\W+') toks
+      FROM documents),
+sh AS (SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(toks)-2,0)+1),
+           i -> concat(toks[i],' ',toks[i+1],' ',toks[i+2]))) s
+       FROM d),
+s2 AS (SELECT DISTINCT doc_id, s FROM sh WHERE s <> ''),
+p AS (SELECT a.doc_id a, b.doc_id b, count(*) i FROM s2 a
+      JOIN s2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+z AS (SELECT doc_id, count(*) n FROM s2 GROUP BY 1)
+"""
+
+
+@_q("minhash_neardup_pairs", f"""
+WITH {_JACCARD_PAIRS_CTE}
+SELECT p.a, p.b, round(i*1.0/(za.n+zb.n-i), 4) AS jaccard
+FROM p JOIN z za ON p.a = za.doc_id JOIN z zb ON p.b = zb.doc_id
+WHERE i*1.0/(za.n+zb.n-i) >= 0.8
+ORDER BY a, b
+""")
+def minhash_neardup_pairs(spark, sf):
+    # oracle-checked against the EXACT n-gram Jaccard pairs: with 64
+    # hashes / 16 bands, banding recall at J>=0.8 is ~1-2e-4 per pair, and
+    # the star->component->completion emission restores every within-
+    # bucket pair (see textdata.dedup.minhash_dup_pairs), so the verified
+    # output equals the exact pair set on these corpora (also pinned at
+    # sf0.001 by tests/test_textdata.py)
     from ..textdata.dedup import minhash_dup_pairs
     d = _spread(spark, load(spark, sf, "documents"))
     return (minhash_dup_pairs(d, threshold=0.8)
             .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
             .orderBy("a", "b"))
+
+
+@_q("minhash_dup_groups", f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+p2 AS (SELECT p.a, p.b
+       FROM p JOIN z za ON p.a = za.doc_id JOIN z zb ON p.b = zb.doc_id
+       WHERE i*1.0/(za.n+zb.n-i) >= 0.8),
+und(x, y) AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+reach(x, y) AS (SELECT x, y FROM und
+                UNION
+                SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x
+                WHERE r.x <> u.y)
+SELECT x AS doc_id, least(x, min(y)) AS group_id
+FROM reach GROUP BY x ORDER BY doc_id
+""")
+def minhash_dup_groups(spark, sf):
+    # the 100 TB dedup surface: duplicate GROUPS (linear) instead of pair
+    # listing (quadratic in cluster size); the oracle independently
+    # recomputes the groups as a recursive transitive closure over the
+    # exact-Jaccard pair graph
+    from ..textdata.dedup import minhash_dup_groups as impl
+    d = _spread(spark, load(spark, sf, "documents"))
+    return impl(d, threshold=0.8).orderBy("doc_id")
 
 
 @_q("simhash_neardup_pairs", None)

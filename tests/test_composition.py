@@ -24,8 +24,16 @@ SCHEMA = DomainSchema(variables=[
     # family-history cancer
     VariableDef(name="FamilyCancerHistory", anchor_cuis=("C0006826",),
                 required=(("Experiencer", ("FamilyMember_Experiencer",)),)),
-    # relation-dependent: a finding linked to a procedure in the same doc
+    # relation-dependent: a finding linked to a procedure in the same doc;
+    # its non-relation slots are satisfiable (any Polarity), but the
+    # relation slot itself gates satisfaction (isSatisfied covers it)
     VariableDef(name="EvaluatedFinding", anchor_cuis=("C0012634",),
+                required=(("Polarity", ()),),
+                relations=(("hasEvaluation", "Procedure"),)),
+    # impossible non-relation slot + a present relation target: the retry
+    # re-runs full satisfaction, so this must NEVER appear
+    # (NobleMentions.process:218-228)
+    VariableDef(name="ImpossibleEvaluated", anchor_cuis=("C0012634",),
                 required=(("Polarity", ("NO_SUCH_VALUE",)),),
                 relations=(("hasEvaluation", "Procedure"),)),
     VariableDef(name="Procedure", anchor_cuis=("C0005558", "C0came01"),
@@ -73,16 +81,35 @@ class TestCompose:
         assert "FamilyCancerHistory" in {r.var_name for r in inst}
 
     def test_relation_retry_satisfies(self, composed):
-        # EvaluatedFinding never satisfies on slots (impossible polarity
-        # value) but c4 has a Procedure -> relation retry accepts it
+        # EvaluatedFinding's Polarity slot holds everywhere, but the
+        # relation slot only fills where a Procedure exists (c4)
         inst = composed["instances"].where("doc_id = 'c4'").collect()
         names = {r.var_name for r in inst}
         assert "Procedure" in names
         assert "EvaluatedFinding" in names
-        # no Procedure in c2 -> no EvaluatedFinding there
+        # no Procedure in c2 -> relation slot unfilled -> not satisfied,
+        # even though every non-relation slot holds
         other = composed["instances"].where(
             "doc_id = 'c2' AND var_name = 'EvaluatedFinding'").count()
         assert other == 0
+
+    def test_relation_retry_rechecks_nonrelation_slots(self, composed):
+        # c4 has the Procedure relation target, but ImpossibleEvaluated's
+        # Polarity slot can never hold -> the retry must NOT promote it
+        assert composed["instances"].where(
+            "var_name = 'ImpossibleEvaluated'").count() == 0
+
+    def test_relation_link_materialized(self, composed):
+        # the satisfied relation lands in the modifier map -> a triple
+        # (instance, hasEvaluation, target_instance_id)
+        inst = composed["instances"].where(
+            "doc_id = 'c4' AND var_name = 'EvaluatedFinding'").collect()
+        assert inst and "hasEvaluation" in inst[0].modifiers
+        target = inst[0].modifiers["hasEvaluation"]
+        assert target.startswith("c4#Procedure#")
+        rel_triples = composed["triples"].where(
+            "pred = 'hasEvaluation'").collect()
+        assert any(r.obj == target for r in rel_triples)
 
     def test_triples_shape(self, composed):
         t = composed["triples"]

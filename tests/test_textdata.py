@@ -66,6 +66,55 @@ class TestMinHash:
         # at J>=0.8 with 64 hashes / 16 bands recall is ~1 — pin equality
         assert lsh == exact
 
+    def test_star_candidates_linear_and_same_components(self, spark):
+        # one degenerate bucket of n identical docs must emit n-1 star
+        # edges (not C(n,2)) yet still group everything into one component
+        n = 40
+        df = spark.createDataFrame(
+            [(i, "same words repeated here for everyone in this bucket")
+             for i in range(n)], "doc_id long, text string")
+        sig = D.minhash_signatures(D.shingle_array(df))
+        star = D.lsh_candidate_pairs(sig).collect()
+        assert len(star) == n - 1  # linear in bucket size
+        comp = D.candidate_components(
+            D.lsh_candidate_pairs(sig)).collect()
+        assert {r.comp for r in comp} == {0} and len(comp) == n
+
+    def test_oversize_components_surfaced_not_silent(self, spark):
+        n = 30
+        df = spark.createDataFrame(
+            [(i, "identical content for the oversize component check")
+             for i in range(n)], "doc_id long, text string")
+        comp = D.candidate_components(D.lsh_candidate_pairs(
+            D.minhash_signatures(D.shingle_array(df))))
+        over = D.oversize_components(comp, max_component=10).collect()
+        assert over and over[0].n_docs == n  # visible to the caller
+        # and the capped pair emitter excludes exactly that component
+        assert D.component_pairs(comp, max_component=10).count() == 0
+        rep = D.minhash_dup_report(df, max_component=10)
+        assert rep["oversize_components_excluded"] == 1
+        assert rep["oversize_docs_excluded"] == n
+        assert rep["verified_pairs"] == 0
+
+    def test_dup_groups_match_pairwise_closure(self, spark, docs):
+        pairs = D.minhash_dup_pairs(docs, threshold=0.8).collect()
+        groups = {r.doc_id: r.group_id
+                  for r in D.minhash_dup_groups(docs, threshold=0.8).collect()}
+        # every doc in a verified pair appears, labeled by its component min
+        import itertools
+        adj = {}
+        for r in pairs:
+            adj.setdefault(r.a, set()).add(r.b)
+            adj.setdefault(r.b, set()).add(r.a)
+        assert set(groups) == set(adj)
+        for node in adj:
+            seen, stack = {node}, [node]
+            while stack:
+                for nb in adj[stack.pop()]:
+                    if nb not in seen:
+                        seen.add(nb); stack.append(nb)
+            assert groups[node] == min(seen)
+
     def test_exact_jaccard_matches_duckdb(self, spark, docs):
         got = sorted((r.a, r.b, round(r.jaccard, 4))
                      for r in D.exact_jaccard_pairs(docs, threshold=0.8).collect())
