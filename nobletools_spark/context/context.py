@@ -225,13 +225,44 @@ class ConTextEngine:
 
     def has_section_action(self, cui: str) -> bool:
         """hasSectionAction / hasParagraphAction on the concept or its
-        group parents (ConText.getGlobalModifierMentions:401-414)."""
+        group parents — the inherited check used for the doc-level scope
+        pass (NobleMentions.getGlobalModifiers collects all modifier
+        mentions; the scope property may live on the group)."""
         c = self._concept(cui)
         if c is not None and (c.get_prop("hasSectionAction")
                               or c.get_prop("hasParagraphAction")):
             return True
         return any(self.has_section_action(p)
                    for p in self.dico.parents_of(cui))
+
+    def global_action(self, cui: str) -> tuple[str, str] | None:
+        """-> (scope, action) where scope is 'paragraph' | 'section' —
+        paragraph wins when both are present, exactly the precedence in
+        ConText.getMatchingModifiers:869-876; the property VALUE is the
+        scoping action (forward/backward/bidirectional). Walks group
+        parents for inheritance."""
+        c = self._concept(cui)
+        if c is not None:
+            v = c.get_prop("hasParagraphAction")
+            if v:
+                return ("paragraph", v)
+            v = c.get_prop("hasSectionAction")
+            if v:
+                return ("section", v)
+        for p in self.dico.parents_of(cui):
+            got = self.global_action(p)
+            if got:
+                return got
+        return None
+
+    def direct_global(self, cui: str) -> bool:
+        """ConText.getGlobalModifierMentions:405-414 — DIRECT concept
+        properties only (no parent walk): these modifier mentions are
+        appended to the sentence output so the doc-level pass can scope
+        them beyond sentence boundaries."""
+        c = self._concept(cui)
+        return c is not None and bool(c.get_prop("hasParagraphAction")
+                                      or c.get_prop("hasSectionAction"))
 
     def section_modifiers(self, text: str) -> list[ModifierOut]:
         """Modifier values from ``text`` whose concepts carry a section
@@ -249,6 +280,15 @@ class ConTextEngine:
         """Run the modifier matcher over ``text`` and assign modifiers to
         each target mention. Returns one {type: [ModifierOut]} per target
         (same order)."""
+        return self.process_with_globals(text, targets)[0]
+
+    def process_with_globals(self, text: str, targets: list[MentionOut]
+                             ) -> tuple[list[dict[str, list[ModifierOut]]],
+                                        list[MentionOut]]:
+        """Like ``process`` but also returns the relevant modifier
+        MENTIONS carrying a direct paragraph/section action — the ones
+        ConText.process:394 appends to the sentence output so the
+        document-level pass can scope them beyond the sentence."""
         mods = process_sentence(text, self.dico, self.cfg)
         relevant = self.relevant_modifiers(mods)
 
@@ -265,7 +305,8 @@ class ConTextEngine:
             for i in self.target_indexes(m, text, targets, terminators):
                 for mod in self.modifier_values(m):
                     _add_modifier(assigned[i], mod, targets[i])
-        return assigned
+        globals_ = [m for m in relevant if self.direct_global(m.cui)]
+        return assigned, globals_
 
 
 def _add_modifier(slot: dict[str, list[ModifierOut]], m: ModifierOut,

@@ -140,6 +140,20 @@ LEXICON_CONCEPTS: list[dict] = [
         "suspicious for", "suggestive of", "questionable", "may represent",
         "cannot be excluded", "worrisome for", "concerning for",
     ], "ContextualModality", "Hedged_ContextualModality"),
+    # ---- paragraph-scoped negation (C5 / hasParagraphAction) ----
+    # list-style negation ("the following were not identified: a, b, c")
+    # scopes every mention in its PARAGRAPH; the property VALUE is the
+    # scoping action and it sits DIRECTLY on the matchable concept, as
+    # ConText.getGlobalModifierMentions:405-414 reads concept properties
+    # without a parent walk
+    _value_concept("NegatedParagraph", "Negated paragraph", [
+        "the following were not identified",
+        "negative for the following",
+        "none of the following were seen",
+    ], "Polarity", "Negative_Polarity",
+        extra_props={"hasActionEn": ACTION_FORWARD,
+                     "hasParagraphAction": ACTION_FORWARD}),
+
     # ---- terminators ----
     dict(cui="Conjunction", name="Conjunction", synonyms=[
         "but", "however", "although", "though", "aside from", "except",
@@ -160,6 +174,7 @@ LEXICON_CONCEPTS: list[dict] = [
 # getTermination/getPseudo walk parents :776-800)
 LEXICON_ISA_EDGES: list[tuple[str, str]] = [
     ("Negated", "NegationGroup"),
+    ("NegatedParagraph", "NegationGroup"),
     ("NegatedAfter", "PostNegationGroup"),
     ("FamilyMember", "FamilyGroup"),
     ("Historical", "HistoricalGroup"),

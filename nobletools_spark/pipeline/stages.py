@@ -38,6 +38,9 @@ SENTENCES_SCHEMA = ST.StructType([
     ST.StructField("sent_type", ST.StringType(), False),
     ST.StructField("text", ST.StringType(), False),
     ST.StructField("offset", ST.IntegerType(), False),
+    # C5: paragraph index within the document (-1 = outside any
+    # paragraph); paragraph-action modifiers scope over this
+    ST.StructField("paragraph_id", ST.IntegerType(), False),
 ])
 
 MENTIONS_SCHEMA = ST.StructType([
@@ -87,9 +90,11 @@ def split_sentences(documents: DataFrame, doc_type: str = SP.TYPE_MEDICAL_REPORT
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in
-                                    ("doc_id", "sent_id", "sent_type", "text", "offset")}
+                                    ("doc_id", "sent_id", "sent_type", "text",
+                                     "offset", "paragraph_id")}
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 sent_id = 0
+                para_base = 0
                 for span in spans:
                     kind = span["kind"] if isinstance(span, dict) else span.kind
                     if kind != "text":
@@ -98,7 +103,15 @@ def split_sentences(documents: DataFrame, doc_type: str = SP.TYPE_MEDICAL_REPORT
                     soff = span["offset"] if isinstance(span, dict) else span.offset
                     if not stext:
                         continue
-                    rows, _ = SP.process_document(stext, doc_type)
+                    rows, secs = SP.process_document(stext, doc_type)
+                    paras = SP.find_paragraphs(stext, secs)
+
+                    def pid_for(off: int) -> int:
+                        for j, p in enumerate(paras):
+                            if p.start <= off < max(p.end, p.start + 1):
+                                return para_base + j
+                        return -1
+
                     for r in rows:
                         # clip the phantom trailing pad the line-splitter
                         # appends past the end of the span (parity artifact
@@ -114,7 +127,9 @@ def split_sentences(documents: DataFrame, doc_type: str = SP.TYPE_MEDICAL_REPORT
                         out["sent_type"].append(r.sent_type)
                         out["text"].append(r.text)
                         out["offset"].append(int(soff) + r.offset)
+                        out["paragraph_id"].append(pid_for(r.offset))
                         sent_id += 1
+                    para_base += len(paras)
             if out["doc_id"]:  # empty frames infer float64 cols, breaking Arrow
                 yield pd.DataFrame(out)
 
@@ -189,8 +204,11 @@ def annotate_documents(sentences: DataFrame, dico_bc, context_bc=None,
     cfg = cfg or for_search_method(None)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from types import SimpleNamespace
+
         from ..context.acronyms import AcronymState
-        from ..context.context import ConTextEngine, _add_modifier
+        from ..context.context import (ConTextEngine, ModifierOut,
+                                       _add_modifier)
         from ..context import negex as NX
 
         dico: Dictionary = dico_bc.value if hasattr(dico_bc, "value") else dico_bc
@@ -203,13 +221,54 @@ def annotate_documents(sentences: DataFrame, dico_bc, context_bc=None,
         state: AcronymState | None = None
         cur_doc = None
         section_mods: list = []
+        # per-doc buffers: rows await the doc flush so paragraph-action
+        # modifiers (which scope beyond their sentence, backward included)
+        # can be applied before emission (ConText.getMatchingModifiers)
+        buf_rows: list[dict] = []
+        buf_para: list[tuple] = []  # (pid, action, abs_start, abs_end, ModifierOut)
+        out: dict[str, list] = {f.name: [] for f in ANNOTATED_SCHEMA.fields}
+
+        def flush_doc():
+            for pid, action, a_start, a_end, val in buf_para:
+                if pid < 0:
+                    continue
+                for row in buf_rows:
+                    if row["_pid"] != pid:
+                        continue
+                    before = a_end <= row["start"]   # modifier before target
+                    after = a_start >= row["end"]    # modifier after target
+                    if not ((action in ("forward", "bidirectional") and before)
+                            or (action in ("backward", "bidirectional")
+                                and after)):
+                        continue
+                    slot = row["_slot"]
+                    cur = slot.get(val.type, [])
+                    # local sentence modifiers win (NobleMentions:158-169)
+                    if all(m.is_default for m in cur):
+                        _add_modifier(
+                            slot,
+                            ModifierOut(type=val.type, value=val.value,
+                                        start=a_start, end=a_end),
+                            SimpleNamespace(start=row["start"],
+                                            end=row["end"]))
+            for row in buf_rows:
+                slot = row.pop("_slot")
+                row.pop("_pid")
+                if slot is not None:
+                    row["modifiers"] = {
+                        t: ",".join(m.value for m in lst)
+                        for t, lst in slot.items()}
+                for k, v in row.items():
+                    out[k].append(v)
+            buf_rows.clear()
+            buf_para.clear()
 
         for pdf in batches:
-            out: dict[str, list] = {f.name: [] for f in ANNOTATED_SCHEMA.fields}
-            for doc_id, sent_id, sent_type, text, offset in zip(
+            for doc_id, sent_id, sent_type, text, offset, pid in zip(
                     pdf["doc_id"], pdf["sent_id"], pdf["sent_type"],
-                    pdf["text"], pdf["offset"]):
+                    pdf["text"], pdf["offset"], pdf["paragraph_id"]):
                 if doc_id != cur_doc:
+                    flush_doc()
                     cur_doc = doc_id
                     state = AcronymState(dico)  # cleared per doc (:273)
                     section_mods = []
@@ -227,9 +286,10 @@ def annotate_documents(sentences: DataFrame, dico_bc, context_bc=None,
                 mentions = process_sentence(stext, dico, cfg)
                 mentions = state.process(stext, mentions)
 
-                mods_per_mention: list[dict[str, str]]
+                slots_out: list
                 if engine is not None:
-                    slots = engine.process(stext, mentions)
+                    slots, global_mods = engine.process_with_globals(
+                        stext, mentions)
                     for slot, target in zip(slots, mentions):
                         for smod in section_mods:
                             # local sentence modifiers win over section
@@ -237,36 +297,48 @@ def annotate_documents(sentences: DataFrame, dico_bc, context_bc=None,
                             cur = slot.get(smod.type, [])
                             if all(m.is_default for m in cur):
                                 _add_modifier(slot, smod, target)
-                    mods_per_mention = [
-                        {t: ",".join(m.value for m in lst)
-                         for t, lst in slot.items()}
-                        for slot in slots]
+                    slots_out = slots
+                    # paragraph-action modifiers scope to the whole
+                    # paragraph; collected here, applied at the doc flush
+                    for gm in global_mods:
+                        ga = engine.global_action(gm.cui)
+                        if ga is None or ga[0] != "paragraph":
+                            continue
+                        for val in engine.modifier_values(gm):
+                            buf_para.append((int(pid), ga[1],
+                                             int(offset) + gm.start,
+                                             int(offset) + gm.end, val))
                 elif negex:
                     nmods = NX.process(stext, mentions)
-                    mods_per_mention = [
-                        {m.type: m.value for m in lst} for lst in nmods]
+                    slots_out = [
+                        {m.type: [m] for m in lst} for lst in nmods]
                 else:
-                    mods_per_mention = [{} for _ in mentions]
+                    slots_out = [None] * len(mentions)
 
-                for m, mods in zip(mentions, mods_per_mention):
+                for m, slot in zip(mentions, slots_out):
                     anns = [{"text": t, "offset": int(offset) + o}
                             for t, o in m.annotations]
-                    out["doc_id"].append(doc_id)
-                    out["sent_id"].append(int(sent_id))
-                    out["cui"].append(m.cui)
-                    out["concept_name"].append(m.concept_name)
-                    out["matched_term"].append(m.matched_term)
-                    out["normalized_term"].append(m.normalized_term)
-                    out["score"].append(float(m.score))
-                    out["annotations"].append(anns)
-                    out["start"].append(anns[0]["offset"] if anns else -1)
-                    out["end"].append(max(a["offset"] + len(a["text"])
-                                          for a in anns) if anns else -1)
-                    out["sem_types"].append(list(m.sem_types))
-                    out["sources"].append(list(m.sources))
-                    out["modifiers"].append(mods)
+                    start = anns[0]["offset"] if anns else -1
+                    end = (max(a["offset"] + len(a["text"]) for a in anns)
+                           if anns else -1)
+                    buf_rows.append({
+                        "doc_id": doc_id, "sent_id": int(sent_id),
+                        "cui": m.cui, "concept_name": m.concept_name,
+                        "matched_term": m.matched_term,
+                        "normalized_term": m.normalized_term,
+                        "score": float(m.score), "annotations": anns,
+                        "start": start, "end": end,
+                        "sem_types": list(m.sem_types),
+                        "sources": list(m.sources),
+                        "modifiers": {}, "_slot": slot, "_pid": int(pid)})
+            # end of Arrow batch: emit completed docs (the current doc may
+            # continue in the next batch, its rows stay buffered)
             if out["doc_id"]:
                 yield pd.DataFrame(out)
+                out = {f.name: [] for f in ANNOTATED_SCHEMA.fields}
+        flush_doc()
+        if out["doc_id"]:
+            yield pd.DataFrame(out)
 
     spark_parallelism = sentences.sparkSession.sparkContext.defaultParallelism
     return (sentences

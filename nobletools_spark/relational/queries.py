@@ -1001,6 +1001,92 @@ def higher_order_array_ops(spark, sf):
             .orderBy("doc_id"))
 
 
+@_q("template_items", """
+WITH toks AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, l[u.i] AS tok,
+         CASE WHEN u.i >= 2 THEN l[u.i - 1] ELSE NULL END AS prev
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') l
+        FROM documents WHERE doc_id < 200) t
+  CROSS JOIN LATERAL unnest(range(1, len(l) + 1)) AS u(i)),
+lex(tok, cui, cname) AS (VALUES ('scan', 'C_scan', 'Scan'),
+                                ('join', 'C_join', 'Join'),
+                                ('merge', 'C_merge', 'Merge')),
+clo(s_cui, g_cui) AS (VALUES ('C_merge', 'C_join'), ('C_merge', 'C_op'),
+                             ('C_join', 'C_op'), ('C_scan', 'C_op')),
+m AS (
+  SELECT t.doc_id, t.pos, lex.cui, lex.cname,
+         coalesce(t.prev = 'no', FALSE) AS absent,
+         CAST(NULL AS DOUBLE) AS value, 'Op' AS item,
+         'finding' AS item_type
+  FROM toks t JOIN lex ON t.tok = lex.tok
+  UNION ALL
+  SELECT doc_id, pos, 'C_num', 'Number',
+         coalesce(prev = 'no', FALSE) AS absent,
+         CAST(tok AS DOUBLE) AS value, 'K' AS item,
+         'numeric-value' AS item_type
+  FROM toks WHERE regexp_matches(tok, '^\\d+$')),
+kept AS (
+  SELECT * FROM m
+  WHERE item <> 'Op' OR NOT EXISTS (
+    SELECT 1 FROM m s JOIN clo ON s.cui = clo.s_cui
+    WHERE s.doc_id = m.doc_id AND s.item = 'Op' AND clo.g_cui = m.cui))
+SELECT doc_id, 'dataops' AS template, item, item_type, cui,
+       cname AS concept_name, CAST(min(pos) AS INT) AS start,
+       CAST(min(pos) + 1 AS INT) AS "end", absent, value
+FROM kept
+GROUP BY doc_id, item, item_type, cui, cname, absent, value
+ORDER BY doc_id, item, cui, absent, value
+""")
+def template_items(spark, sf):
+    """I4 template extraction, oracle-checked end-to-end: the mention
+    source is a SQL-expressible keyword match (so DuckDB can mirror it),
+    but the extraction itself runs through the real
+    ``extract.templates.process_template`` engine — closure matching,
+    most-specific-wins, negation->absent, DOMAIN_VALUE numeric parse.
+    The matcher-backed path is covered by the golden fixture tests."""
+    from ..extract.templates import (TemplateDef, TemplateItemDef,
+                                     process_template)
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 200)
+    toks = d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.split(F.lower(F.trim("text")), r"\s+").alias("l"))
+    ex = toks.select("doc_id", "l",
+                     F.posexplode("l").alias("pos", "tok"))
+    prev = F.when(F.col("pos") >= 1, F.element_at("l", F.col("pos")))
+    pol = F.when(prev == "no", "Negative_Polarity") \
+           .otherwise("Positive_Polarity")
+    lex = spark.createDataFrame(
+        [("scan", "C_scan", "Scan"), ("join", "C_join", "Join"),
+         ("merge", "C_merge", "Merge")],
+        "tok string, cui string, cname string")
+    kw = (ex.join(F.broadcast(lex), "tok")
+          .select("doc_id", "cui", F.col("cname").alias("concept_name"),
+                  F.col("tok").alias("matched_term"), "pos", pol.alias("_pol")))
+    num = (ex.where(F.col("tok").rlike(r"^\d+$"))
+           .select("doc_id", F.lit("C_num").alias("cui"),
+                   F.lit("Number").alias("concept_name"),
+                   F.col("tok").alias("matched_term"), "pos",
+                   pol.alias("_pol")))
+    mentions = (kw.unionByName(num)
+                .select("doc_id", F.lit(0).alias("sent_id"), "cui",
+                        "concept_name", "matched_term",
+                        F.col("pos").alias("start"),
+                        (F.col("pos") + 1).alias("end"),
+                        F.create_map(F.lit("Polarity"), F.col("_pol"))
+                        .alias("modifiers")))
+    closure = spark.createDataFrame(
+        [("C_merge", "C_join"), ("C_merge", "C_op"), ("C_join", "C_op"),
+         ("C_scan", "C_op")], "cui string, anc_cui string")
+    t = TemplateDef("dataops", items=[
+        TemplateItemDef("Op", "C_op"),
+        TemplateItemDef("K", "C_num", type="numeric-value",
+                        value_domain="value")])
+    out = process_template(mentions, t, closure)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "template", "item", "item_type", "cui",
+                       "concept_name", "start", "end", "absent", "value")
+            .orderBy("doc_id", "item", "cui", "absent", "value"))
+
+
 @_q("lateral_explode_join", """
 SELECT t.doc_id, tok, count(*) AS n
 FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok

@@ -179,6 +179,66 @@ def find_sections(text: str, doc_type: str = TYPE_MEDICAL_REPORT) -> list[Sectio
     return out
 
 
+@dataclass
+class ParagraphRow:
+    start: int
+    end: int
+    part: str | None = None
+
+
+_PARAGRAPH = r"(?:\s*\n){2,}"
+_DSPACE_PARAGRAPH = r"(?:\s*\n){3,}"
+_DIVS = r"\-{5,}|_{5,}|={5,}"
+_PARTS = r"PARTS?\s+\d+(\s+AND\s+\d+)?:?"
+_PARA_PATTERN = re.compile(f"({_PARAGRAPH}|{_DIVS}|{_PARTS})",
+                           re.MULTILINE | re.IGNORECASE)
+_DSPACE_PATTERN = re.compile(f"({_DSPACE_PARAGRAPH}|{_DIVS}|{_PARTS})",
+                             re.MULTILINE | re.IGNORECASE)
+_SINGLE_SPACE = re.compile(r"^[^\n]{5,}\n[^\n]{5,}$", re.MULTILINE | re.DOTALL)
+_PARTS_FULL = re.compile(_PARTS, re.IGNORECASE)
+_PARA_WS = re.compile(r"^\s+", re.DOTALL | re.MULTILINE)
+
+
+def find_paragraphs(text: str, sections: list[SectionRow] | None = None,
+                    ) -> list[ParagraphRow]:
+    """C5: ParagraphProcessor.java:10-88 — paragraphs delimited by blank
+    lines (>=2 newlines; >=3 when the text is double-spaced), divider
+    rules, or PART n: markers; parsed per section body when sections
+    exist, else over the whole text. A delimiter matching PARTS labels the
+    paragraph it closes; the trailing (mop-up) paragraph inherits the last
+    delimiter's label — byte-for-byte the reference's delim handling."""
+    out: list[ParagraphRow] = []
+
+    def parse(body: str, body_offset: int, end_position: int) -> None:
+        if not body.strip():
+            return
+        pt = (_PARA_PATTERN if _SINGLE_SPACE.search(body)
+              else _DSPACE_PATTERN)
+        offs = 0
+        delim: str | None = None
+        for mt in pt.finditer(body):
+            delim = mt.group()
+            wm = _PARA_WS.match(delim)
+            ws_buf = len(wm.group()) if wm else 0
+            pgh = ParagraphRow(offs + body_offset,
+                               mt.start() + body_offset + ws_buf)
+            if _PARTS_FULL.fullmatch(delim):
+                pgh.part = delim
+            out.append(pgh)
+            offs = mt.end()
+        pgh = ParagraphRow(offs + body_offset, end_position)
+        if delim is not None and _PARTS_FULL.fullmatch(delim):
+            pgh.part = delim
+        out.append(pgh)
+
+    if not sections:
+        parse(text, 0, len(text))
+    else:
+        for sec in sections:
+            parse(text[sec.body_offset:sec.end], sec.body_offset, sec.end)
+    return out
+
+
 def process_document(text: str, doc_type: str = TYPE_MEDICAL_REPORT,
                      ) -> tuple[list[SentenceRow], list[SectionRow]]:
     """DocumentProcessor.processReport:200-241 — line-merge regions, prose vs

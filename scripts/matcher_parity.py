@@ -46,7 +46,9 @@ import edu.pitt.dbmi.nlp.noble.tools.TermFilter;
 import edu.pitt.dbmi.nlp.noble.util.PathHelper;
 import edu.pitt.dbmi.nlp.noble.coder.model.Document;
 import edu.pitt.dbmi.nlp.noble.coder.model.Section;
+import edu.pitt.dbmi.nlp.noble.coder.model.Paragraph;
 import edu.pitt.dbmi.nlp.noble.coder.processor.DocumentProcessor;
+import edu.pitt.dbmi.nlp.noble.coder.processor.ParagraphProcessor;
 
 import java.io.*;
 import java.util.*;
@@ -157,6 +159,19 @@ public class DiffMain {
                     b.append(us).append(sn.getSentenceType()).append("|")
                      .append(sn.getOffset()).append("|")
                      .append(sn.getText().replace("\n", "\\n"));
+                w.println(b.toString());
+            } else if (f[0].equals("PP")) {
+                // paragraph differential: DocumentProcessor sections, then
+                // ParagraphProcessor spans + part labels
+                Document d = new DocumentProcessor().process(f[1]
+                    .replace("\\n", "\n").replace("\\t", "\t"));
+                new ParagraphProcessor().process(d);
+                StringBuilder b = new StringBuilder("G");
+                for (Paragraph p : d.getParagraphs())
+                    b.append(us).append(p.getStartPosition()).append("|")
+                     .append(p.getEndPosition()).append("|")
+                     .append(p.getPart() == null ? ""
+                             : p.getPart().replace("\n", "\\n"));
                 w.println(b.toString());
             } else if (f[0].equals("R")) {
                 // attach a BROADER edge to an existing anchor concept
@@ -377,7 +392,8 @@ def main() -> int:
     ok5 = run_termfilter_diff()
     ok6 = run_ancestors_diff()
     ok7 = run_docproc_diff()
-    all_ok = all_ok and ok2 and ok3 and ok4 and ok5 and ok6 and ok7
+    ok8 = run_paragraph_diff()
+    all_ok = all_ok and ok2 and ok3 and ok4 and ok5 and ok6 and ok7 and ok8
     print("overall:", "PASS" if all_ok else "FAIL")
     return 0 if all_ok else 1
 
@@ -525,6 +541,12 @@ CONTEXT_SENTS = [
     "No fever, no rash, no headache today.",
     "Probable hypertension; diabetes is ruled out.",
     "Negative for melanoma but positive for nevus.",
+    # paragraph-action modifier (hasParagraphAction DIRECT on the concept):
+    # the reference appends it to the sentence output via
+    # getGlobalModifierMentions — ours must surface it identically
+    "The following were not identified: melanoma, rash, fever.",
+    "Negative for the following findings and nevus.",
+    "Biopsy shows none of the following were seen near the margin.",
 ]
 
 
@@ -613,13 +635,18 @@ def run_context_diff() -> bool:
     bad = 0
     for qi, s in enumerate(sentences):
         mentions = process_sentence(s, dico, cfg)
-        slots = engine.process(s, mentions)
+        slots, globals_ = engine.process_with_globals(s, mentions)
         ours = set()
         for m, slot in zip(mentions, slots):
             key = tuple(sorted((t, o) for t, o in m.annotations))
             mv = tuple(sorted({f"{t}={x.value}" for t, lst in slot.items()
                                for x in lst}))
             ours.add((m.cui, key, mv))
+        # ConText.process:394 appends global (paragraph/section-action)
+        # modifier mentions to the sentence output; mirror that
+        for gm in globals_:
+            key = tuple(sorted((t, o) for t, o in gm.annotations))
+            ours.add((gm.cui, key, ()))
         got = ref.get(qi, set())
         if ours != got:
             bad += 1
@@ -729,6 +756,69 @@ def run_ancestors_diff() -> bool:
             bad += 1
             print(f"ANCESTOR DIFF {cui}: ref={ref} ours={ours}")
     print(f"ancestors: {len(cuis)} concepts, {bad} diffs"
+          + ("" if bad == 0 else "  <-- FAIL"))
+    return bad == 0
+
+
+PARAGRAPH_CASES = [
+    # blank-line paragraphs, single-spaced text
+    "First paragraph line one.\nline two continues.\n\nSecond paragraph "
+    "here.\n\n\nThird one after a double gap.\n",
+    # divider rules
+    "Alpha block of text.\n-----\nBeta block after dashes.\n=====\n"
+    "Gamma block after equals.\n",
+    # PART markers (label the paragraph they close)
+    "PART 1: specimen A description text.\nPART 2: specimen B "
+    "description.\nPARTS 1 AND 2: combined note.\n",
+    # double-spaced document (no single-spaced pair of >=5-char lines):
+    # only >=3-newline gaps split
+    "Line alpha.\n\nLine beta.\n\n\nLine gamma.\n",
+    # sectioned document: paragraphs parse per section body
+    ("FINAL DIAGNOSIS:  Malignant melanoma of the skin.\n\n"
+     "Deep margin is clear.\n"
+     "COMMENT:  The following were not identified: rash, fever.\n\n"
+     "Discussed with care team.\n"),
+    "   \n\n  \n",  # whitespace only -> no paragraphs
+    "Single paragraph no delimiters at all",
+]
+
+
+def run_paragraph_diff() -> bool:
+    """C5: ParagraphProcessor vs sentence/splitter.find_paragraphs —
+    span + part-label equality per document."""
+    sys.path.insert(0, ROOT)
+    from nobletools_spark.pipeline.documents import generate_documents_local
+    from nobletools_spark.sentence.splitter import (find_paragraphs,
+                                                    find_sections)
+    cases = list(PARAGRAPH_CASES)
+    for _, spans in generate_documents_local(15, seed=99):
+        text = "".join(sp["text"] for sp in spans if sp["kind"] == "text")
+        if text:
+            cases.append(text)
+
+    lines = [US.join(["PP", r.replace("\n", "\\n")]) for r in cases]
+    proc = subprocess.run(
+        ["java", "-cp", CP, "DiffMain"], cwd=SCRATCH,
+        input="\n".join(lines), capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-500:])
+    outs = [l for l in proc.stdout.splitlines() if l.startswith("G")]
+    bad = 0
+    for text, line in zip(cases, outs):
+        ref = []
+        for part in line[1:].split(US):
+            if part:
+                st, en, lbl = part.split("|", 2)
+                ref.append((int(st), int(en), lbl.replace("\\n", "\n")))
+        ours = [(p.start, p.end, (p.part or "").replace("\n", "\n"))
+                for p in find_paragraphs(text, find_sections(text))]
+        if ref != ours:
+            bad += 1
+            if bad <= 3:
+                print(f"PARAGRAPH DIFF {text[:60]!r}")
+                print("   ref :", ref)
+                print("   ours:", ours)
+    print(f"paragraphs: {len(cases)} documents, {bad} diffs"
           + ("" if bad == 0 else "  <-- FAIL"))
     return bad == 0
 

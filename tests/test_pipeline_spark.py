@@ -101,6 +101,36 @@ class TestPipeline:
         assert got == expected
 
 
+class TestParagraphScope:
+    def test_paragraph_action_scopes_across_sentences(self, spark):
+        from nobletools_spark.config import for_search_method
+        from nobletools_spark.context.lexicon import modifier_dictionary
+        from nobletools_spark.pipeline.documents import DOCUMENTS_SCHEMA
+        from nobletools_spark.pipeline.stages import (annotate_documents,
+                                                      split_sentences)
+        text = ("The following were not identified: melanoma, rash.\n"
+                "Also fever was evaluated.\n\n"
+                "Second paragraph has nevus.\n")
+        docs = spark.createDataFrame(
+            [("p1", [{"kind": "text", "text": text, "media_ref": "",
+                      "offset": 0}])], schema=DOCUMENTS_SCHEMA)
+        sents = split_sentences(docs)
+        # the blank line splits paragraphs
+        pids = {r.text.strip()[:6]: r.paragraph_id for r in sents.collect()}
+        assert pids["The fo"] == pids["Also f"] != pids["Second"]
+        ann = annotate_documents(
+            sents, spark.sparkContext.broadcast(fixture_dictionary()),
+            spark.sparkContext.broadcast(modifier_dictionary()),
+            for_search_method("best-match"))
+        pol = {r.cui: r.modifiers.get("Polarity") for r in ann.collect()}
+        # C5+hasParagraphAction: the list-negation phrase scopes FORWARD
+        # over its whole paragraph — fever (next sentence) is negated...
+        assert pol["C0025202"] == "Negative_Polarity"   # melanoma (local)
+        assert pol["C0015967"] == "Negative_Polarity"   # fever (paragraph)
+        # ...but not into the next paragraph
+        assert pol["C0027960"] == "Positive_Polarity"   # nevus
+
+
 class TestInterleaveAdapter:
     def test_flat_adapter_preserves_text(self, spark):
         flat = spark.createDataFrame(

@@ -87,3 +87,9 @@ def test_ancestors_identical(harness):
 
 def test_document_processor_identical(harness):
     assert harness.run_docproc_diff()
+
+
+def test_paragraphs_identical(harness):
+    # C5: ParagraphProcessor spans + part labels, incl. the
+    # paragraph-action ConText case folded into run_context_diff
+    assert harness.run_paragraph_diff()

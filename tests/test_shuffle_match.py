@@ -56,8 +56,8 @@ class TestShuffleMatchParity:
         from pyspark.sql import types as ST
         from nobletools_spark.pipeline.stages import SENTENCES_SCHEMA
         sents = spark.createDataFrame(
-            [("d1", 0, "Prose", "", 0),
-             ("d1", 1, "Prose", "zz qq ww unknown words", 0)],
+            [("d1", 0, "Prose", "", 0, 0),
+             ("d1", 1, "Prose", "zz qq ww unknown words", 0, 0)],
             schema=SENTENCES_SCHEMA)
         out = detect_mentions_shuffle(sents, tables,
                                       for_search_method("best-match"))
