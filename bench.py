@@ -169,6 +169,18 @@ def run(sf_dir: str, cpus: int) -> dict:
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.time() - t0, 3)
 
+    # -- vocabulary-scale evidence: broadcast vs shuffle match over a
+    # synthetic large vocabulary (H5/P2 flip); reported under its own key,
+    # deliberately NOT part of the headline total (it benches the build +
+    # both match paths, not a headline query) --
+    vocab_scale = None
+    vocab_n = int(os.environ.get("SPARK_GRAFT_VOCAB", "200000"))
+    if vocab_n > 0:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from vocab_scale import compare_paths
+        vocab_scale = compare_paths(spark, vocab_n, n_sents=1000)
+
     total = round(sum(results.values()), 3)
     payload = {
         "metric": "headline_total_sec",
@@ -183,6 +195,7 @@ def run(sf_dir: str, cpus: int) -> dict:
         "scaling": {"lo": scale_lo, "hi": scale_hi,
                     "efficiency": eff,
                     "target": 0.8},
+        "vocab_scale": vocab_scale,
     }
     spark.stop()
     return payload

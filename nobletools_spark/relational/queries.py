@@ -641,11 +641,47 @@ def minhash_dup_groups(spark, sf):
     return impl(d, threshold=0.8).orderBy("doc_id")
 
 
-@_q("simhash_neardup_pairs", None)
+@_q("simhash_neardup_pairs", r"""
+WITH dd AS (SELECT doc_id, lower(text) t FROM documents),
+dt AS (SELECT DISTINCT doc_id,
+              unnest(list_filter(string_split_regex(t, '\s+'),
+                                 x -> x <> '')) tok
+       FROM dd),
+h AS (SELECT doc_id, tok,
+        list_reduce(list_transform(string_split(substr(md5(tok), 1, 16), ''),
+          c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+          (a, b) -> a * 16 + b) AS hv
+      FROM dt),
+votes AS (SELECT doc_id, u.b,
+            sum(CASE WHEN (hv >> (63 - u.b)) & 1 = 1 THEN 1 ELSE -1 END) v
+          FROM h CROSS JOIN LATERAL unnest(range(0, 64)) u(b)
+          GROUP BY doc_id, u.b),
+sig0 AS (SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << (63 - b)
+                    ELSE CAST(0 AS HUGEINT) END) s
+         FROM votes GROUP BY doc_id),
+sigs AS (SELECT d.doc_id,
+           CAST(coalesce(CASE WHEN s >= CAST(1 AS HUGEINT) << 63
+                              THEN s - (CAST(1 AS HUGEINT) << 64)
+                              ELSE s END, 0) AS BIGINT) sig
+         FROM (SELECT DISTINCT doc_id FROM dd) d
+         LEFT JOIN sig0 s USING (doc_id))
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY a, b
+""")
 def simhash_neardup_pairs(spark, sf):
+    # oracle-checked: the DuckDB side recomputes the identical md5-based
+    # 64-bit SimHash per document and brute-forces all pairs; the Spark
+    # side's 4x16-bit pigeonhole banding has recall EXACTLY 1 at
+    # hamming<=3 (not probabilistic), so the outputs match bit-for-bit
     from ..textdata.dedup import simhash_neardup_pairs as impl
     d = _spread(spark, load(spark, sf, "documents"))
-    return impl(d, max_hamming=3).orderBy("a", "b")
+    return (impl(d, max_hamming=3)
+            .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("a", "b"))
 
 
 @_q("embedding_neardup_pairs", """

@@ -282,7 +282,10 @@ def exact_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """-> (doc_id, simhash bigint): 64-bit SimHash over word tokens.
-    Token hashing + bit votes in one Arrow-batched pandas UDF (numpy)."""
+    Token hashing + bit votes in one Arrow-batched pandas UDF (numpy).
+    The token hash is the first 8 bytes of md5 (big-endian) — chosen so
+    the DuckDB oracle can recompute the identical signature from hex
+    (relational/queries.py simhash_neardup_pairs)."""
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -293,9 +296,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
                 continue
             votes = np.zeros(64, dtype=np.int64)
             for tok in toks:
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                    "big")
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                                   "big")
                 bits = np.unpackbits(
                     np.frombuffer(struct.pack(">Q", h), dtype=np.uint8))
                 votes += bits.astype(np.int64) * 2 - 1

@@ -1,0 +1,103 @@
+"""H7 incremental mutation tests: add/remove/update as delta MERGEs must
+be exactly equivalent to a full rebuild (the update-in-place contract),
+including shared-synonym survival, word-stat decrements, and the derived
+blacklist/compacted tables."""
+
+import pytest
+
+from nobletools_spark.config import SearchConfig
+from nobletools_spark.matcher.core import search
+from nobletools_spark.terminology.build import (build_terminology,
+                                                dictionary_from_tables)
+from nobletools_spark.terminology.mutate import (add_concept,
+                                                 remove_concept,
+                                                 update_concept)
+
+CONCEPTS = [
+    dict(cui="C1", name="Melanoma", synonyms=["Melanoma", "black tumor"],
+         sem_types=["T191"], sources=["S"], terms=[("Melanoma", "PT")],
+         definitions=[], codes={"S": "M1"}),
+    dict(cui="C2", name="Skin cancer",
+         synonyms=["Skin cancer", "black tumor"],   # shared synonym with C1
+         sem_types=["T191"], sources=["S"], terms=[("Skin cancer", "PT")],
+         definitions=[], codes={"S": "M2"}),
+    dict(cui="C3", name="Rash", synonyms=["Rash", "skin eruption"],
+         sem_types=["T184"], sources=["S"], terms=[("Rash", "PT")],
+         definitions=[], codes={"S": "M3"}),
+    dict(cui="C4", name="Fever", synonyms=["Fever", "pyrexia"],
+         sem_types=["T184"], sources=["S"], terms=[("Fever", "PT")],
+         definitions=[], codes={"S": "M4"}),
+]
+
+
+def _comparable(tables, cfg):
+    d = dictionary_from_tables(tables, cfg)
+    return {
+        "concepts": {k: v for k, v in sorted(d.concepts.items())},
+        "term_map": d.term_map, "word_map": d.word_map,
+        "word_stats": d.word_stats, "word_is_term": d.word_is_term,
+        "blacklist": d.blacklist, "regex_map": d.regex_map,
+        "code_map": d.code_map,
+    }
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return SearchConfig()
+
+
+class TestMutateEqualsRebuild:
+    def test_remove_keeps_shared_synonym(self, spark, cfg):
+        full = build_terminology(spark, CONCEPTS, cfg, compact=True)
+        mutated = remove_concept(full, "C1", cfg)
+        rebuilt = build_terminology(spark, [c for c in CONCEPTS
+                                            if c["cui"] != "C1"],
+                                    cfg, compact=True)
+        assert _comparable(mutated, cfg) == _comparable(rebuilt, cfg)
+        # the shared synonym survives for C2 (reference removeConcept
+        # would have dropped the whole termMap entry — documented delta)
+        d = dictionary_from_tables(mutated, cfg)
+        assert any("black tumor" in t for t in d.term_map)
+
+    def test_add_equals_rebuild(self, spark, cfg):
+        base = build_terminology(spark, CONCEPTS[:3], cfg, compact=True)
+        mutated = add_concept(base, CONCEPTS[3], cfg)
+        rebuilt = build_terminology(spark, CONCEPTS, cfg, compact=True)
+        assert _comparable(mutated, cfg) == _comparable(rebuilt, cfg)
+        # the re-derived compacted (rarest-word) index matches too
+        snap = lambda t: sorted((r.word, tuple(r.terms))
+                                for r in t["word_index_compact"].collect())
+        assert snap(mutated) == snap(rebuilt)
+
+    def test_update_changes_synonyms_in_place(self, spark, cfg):
+        full = build_terminology(spark, CONCEPTS, cfg, compact=True)
+        newc = dict(CONCEPTS[2], synonyms=["Rash", "red blotches"])
+        mutated = update_concept(full, newc, cfg)
+        rebuilt = build_terminology(
+            spark, [c for c in CONCEPTS if c["cui"] != "C3"] + [newc],
+            cfg, compact=True)
+        assert _comparable(mutated, cfg) == _comparable(rebuilt, cfg)
+        d = dictionary_from_tables(mutated, cfg)
+        assert {h["cui"] for h in search("red blotches noted", d,
+                                         "best-match")} == {"C3"}
+        assert not search("skin eruption noted", d, "best-match")
+
+    def test_remove_missing_cui_is_noop(self, spark, cfg):
+        full = build_terminology(spark, CONCEPTS, cfg)
+        assert remove_concept(full, "NOPE", cfg) is full
+
+    def test_persisted_roundtrip_after_mutation(self, spark, cfg, tmp_path):
+        from nobletools_spark.terminology.persist import (load_terminology,
+                                                          save_terminology)
+        full = build_terminology(spark, CONCEPTS, cfg)
+        p1 = str(tmp_path / "t1.term")
+        save_terminology(full, p1, cfg)
+        loaded, lcfg = load_terminology(spark, p1)
+        mutated = remove_concept(
+            {k: v for k, v in loaded.items() if k != "isa_edges"},
+            "C4", lcfg)
+        p2 = str(tmp_path / "t2.term")
+        save_terminology(mutated, p2, lcfg)
+        reread, _ = load_terminology(spark, p2)
+        rebuilt = build_terminology(spark, CONCEPTS[:3], cfg)
+        assert _comparable(reread, cfg) == _comparable(rebuilt, cfg)

@@ -64,6 +64,45 @@ class TestShuffleMatchParity:
         assert out.count() == 0
 
 
+class TestVocabScale:
+    def test_large_vocab_parity_and_budget_flip(self, spark):
+        """VERDICT r1 #7: the broadcast->shuffle flip exercised by the
+        budget decision over a genuinely large synthetic vocabulary (60k
+        concepts / 120k terms here; scripts/vocab_scale.py runs the same
+        comparison at 1M for BENCH.md), with full mention parity."""
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "scripts"))
+        from vocab_scale import build_vocab_tables, vocab_sentences
+
+        from nobletools_spark.pipeline.shuffle_match import (
+            detect_mentions_auto, estimate_dictionary_bytes)
+
+        tables = build_vocab_tables(spark, 60_000)
+        sents = vocab_sentences(spark, tables, 500).cache()
+
+        dico = dictionary_from_tables(tables)
+        dico.word_map = {r.word: tuple(r.terms)
+                         for r in tables["word_index_compact"].collect()}
+        dico.blacklist = {}
+        budget = 1_000_000
+        assert estimate_dictionary_bytes(dico) > budget  # genuinely over
+
+        auto = detect_mentions_auto(sents, dico, tables=tables,
+                                    budget_bytes=budget)
+        # over budget + tables present -> the relational candidate
+        # pipeline (its plan joins the dictionary tables; the broadcast
+        # path is a single narrow mapInPandas with no join)
+        assert "Join" in auto._jdf.queryExecution().toString()
+
+        cfg = for_search_method("best-match", compacted=True)
+        broadcast_out = detect_mentions(
+            sents, spark.sparkContext.broadcast(dico), cfg)
+        assert keyset(auto) == keyset(broadcast_out)
+        assert auto.count() == 500  # one planted term per sentence
+
+
 class TestAutoPathSelection:
     def test_small_dictionary_broadcasts(self, spark, tables, sentences):
         from nobletools_spark.pipeline.shuffle_match import (
