@@ -759,8 +759,25 @@ def token_counts_bpe(spark, sf):
     return token_counts(d).orderBy("doc_id")
 
 
-@_q("doc_fingerprint_groups", None)  # xxhash64 sketch: rows-only
+@_q("doc_fingerprint_groups", """
+WITH fp AS (
+  SELECT doc_id,
+         array_to_string(list_slice(list_sort(list_transform(
+           range(1, greatest(length(text) - 15, 0) + 1),
+           i -> list_reduce(list_transform(
+                  string_split(substr(md5(substr(text, i, 16)), 1, 15), ''),
+                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b))), 1, 4), ',') AS fingerprint
+  FROM documents)
+SELECT fingerprint,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+       count(*) AS n_docs
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+ORDER BY fingerprint
+""")
 def doc_fingerprint_groups(spark, sf):
+    # oracle-checked: DuckDB recomputes the identical md5-window winnowing
+    # sketch (15 hex chars -> int64) per document and regroups
     from ..textdata.analysis import fingerprint_dup_groups
     d = _spread(spark, load(spark, sf, "documents"))
     return fingerprint_dup_groups(d).orderBy("fingerprint")

@@ -32,15 +32,18 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text",
                      k: int = 16, keep: int = 4) -> DataFrame:
     """Winnowing-style document fingerprint: hash every k-char window,
     keep the ``keep`` smallest hashes (a deterministic sketch robust to
-    local edits; Schleimer et al., SIGMOD 2003). The window hash is
-    xxhash64 over the substring — computed as one JVM transform over an
-    index sequence, no Python and no explode."""
+    local edits; Schleimer et al., SIGMOD 2003). The window hash is the
+    first 15 hex chars of md5 parsed as a (positive) int64 — md5 so the
+    DuckDB oracle recomputes identical sketches; still one JVM transform
+    over an index sequence, no Python and no explode."""
     n = F.length(text_col) - (k - 1)
     # sequence(1, 0) would DESCEND; emit an empty index list for short docs
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
            .otherwise(F.array().cast("array<int>"))
     hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(k))))
+        idx, lambda i: F.conv(
+            F.substring(F.md5(F.col(text_col).substr(i, F.lit(k))), 1, 15),
+            16, 10).cast("long"))
     return df.select(
         "doc_id", F.slice(F.array_sort(hashes), 1, keep).alias("fingerprint"))
 
@@ -50,7 +53,7 @@ def fingerprint_dup_groups(df: DataFrame, text_col: str = "text",
     """Group documents by identical fingerprint sketch — the cheap
     near-dup pre-filter (hash-groupBy on a 32-byte key at any scale)."""
     fp = doc_fingerprints(df, text_col, k, keep)
-    return (fp.groupBy(F.to_json("fingerprint").alias("fingerprint"))
+    return (fp.groupBy(F.concat_ws(",", "fingerprint").alias("fingerprint"))
             .agg(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
                  .alias("doc_ids"),
                  F.count(F.lit(1)).alias("n_docs"))

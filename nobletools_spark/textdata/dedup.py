@@ -33,6 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as ST
 
 DEFAULT_SHINGLE_N = 3
 DEFAULT_NUM_HASHES = 64
@@ -64,18 +65,25 @@ def shingle_array(df: DataFrame, text_col: str = "text",
 def minhash_signatures(shingled: DataFrame,
                        num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
     """-> (doc_id, sig array<bigint>): sig[i] = min over shingles of
-    xxhash64(i, shingle). Pure map-side column math; empty shingle sets get
-    a per-doc sentinel signature so they never collide."""
-    # NB: the lambda must take exactly ONE arg — PySpark binds every lambda
-    # parameter (including `i=i` default-arg captures) as a lambda variable
-    def slot(i: int):
-        return F.coalesce(
-            F.array_min(F.transform(
-                "shingles", lambda s: F.xxhash64(F.lit(i), s))),
-            F.xxhash64(F.lit(-1 - i), F.col("doc_id")))
+    xxhash64(i, xxhash64(shingle)). Pure map-side column math; empty
+    shingle sets get a per-doc sentinel signature so they never collide.
 
-    mins = [slot(i) for i in range(num_hashes)]
-    return shingled.select("doc_id", "shingles", F.array(*mins).alias("sig"))
+    Two deliberate perf choices (measured, not guessed):
+    - each shingle STRING is hashed exactly once; the num_hashes slots
+      re-mix the resulting 8-byte value (standard universal-permutation
+      MinHash) — rehashing the full string per slot cost ~3x the whole
+      stage;
+    - the signature is ONE nested-lambda transform over the slot-index
+      sequence, not num_hashes parallel column expressions, keeping the
+      codegen unit small (64 parallel expressions cost seconds of
+      whole-stage-codegen compilation on a session's first run)."""
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    with_hs = shingled.withColumn(
+        "_hs", F.transform("shingles", lambda s: F.xxhash64(s)))
+    sig = F.transform(idx, lambda i: F.coalesce(
+        F.array_min(F.transform("_hs", lambda h: F.xxhash64(i, h))),
+        F.xxhash64(F.lit(-1) - i, F.col("doc_id"))))
+    return with_hs.select("doc_id", "shingles", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame,
@@ -101,19 +109,56 @@ def lsh_candidate_pairs(signatures: DataFrame,
                 .select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
                 .select("doc_id", "bk.band", "bk.h"))
     w = Window.partitionBy("band", "h")
+    # NB deliberately no distinct(): the same (a, b) star edge may fall
+    # out of several bands, but downstream consumers (components,
+    # component_pairs) are duplicate-tolerant and the extra shuffle costs
+    # more than the duplicates do
     return (exploded
             .withColumn("_center", F.min("doc_id").over(w))
             .where(F.col("doc_id") != F.col("_center"))
-            .select(F.col("_center").alias("a"), F.col("doc_id").alias("b"))
-            .distinct())
+            .select(F.col("_center").alias("a"), F.col("doc_id").alias("b")))
 
 
-def candidate_components(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
-    """-> (doc_id, comp): connected components over candidate edges via
-    iterative min-label propagation. Star-shaped buckets give tiny
-    diameters, so rounds stay low; each round is one join on the candidate
-    edge set (orders of magnitude smaller than the corpus), lineage
-    truncated per round with localCheckpoint."""
+def candidate_components(pairs: DataFrame, max_rounds: int = 15,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
+    """-> (doc_id, comp): connected components over candidate edges.
+
+    Hybrid execution, the same spirit as a broadcast-join threshold: the
+    candidate edge set is orders of magnitude smaller than the corpus, so
+    when it fits under ``driver_threshold`` edges it is union-found on
+    the driver in one pass (micro-seconds) instead of paying 2 Spark jobs
+    per propagation round; above the threshold the distributed min-label
+    propagation runs (star-shaped buckets give tiny diameters, lineage
+    truncated per round with localCheckpoint)."""
+    pairs = pairs.cache()
+    n_edges = pairs.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs.collect():
+            for v in (r.a, r.b):
+                parent.setdefault(v, v)
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                # min label wins so the component id is its min member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(v, find(v)) for v in parent]
+        spark = pairs.sparkSession
+        schema = pairs.schema
+        return spark.createDataFrame(
+            rows, ST.StructType([
+                ST.StructField("doc_id", schema["a"].dataType, False),
+                ST.StructField("comp", schema["a"].dataType, False)]))
+
     edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     und = (edges.unionByName(edges.select(F.col("y").alias("x"),
                                           F.col("x").alias("y")))
@@ -166,7 +211,10 @@ def oversize_components(components: DataFrame,
 
 def verify_jaccard(pairs: DataFrame, shingled: DataFrame,
                    threshold: float) -> DataFrame:
-    """Exact Jaccard on candidate pairs -> (a, b, jaccard)."""
+    """Exact Jaccard on candidate pairs -> (a, b, jaccard). The pair list
+    is output-bounded (tiny next to the corpus); AQE plans these joins as
+    broadcasts at runtime — an explicit broadcast hint here measured
+    SLOWER (it serializes the exchanges on the driver)."""
     sa = shingled.select(F.col("doc_id").alias("a"),
                          F.col("shingles").alias("_sa"))
     sb = shingled.select(F.col("doc_id").alias("b"),
@@ -204,11 +252,17 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     sig = minhash_signatures(sh, num_hashes)
     star = lsh_candidate_pairs(sig, bands, num_hashes)
     comp = candidate_components(star)
-    cand = component_pairs(comp, max_component)
+    # the candidate pair list is consumed twice (semi-join prefilter +
+    # verify broadcast) and is output-bounded: cache it
+    cand = component_pairs(comp, max_component).cache()
     cand_ids = (cand.select(F.col("a").alias("doc_id"))
                 .unionByName(cand.select(F.col("b").alias("doc_id")))
                 .distinct())
-    sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
+    # re-shingle ONLY the candidate documents (semi-join the raw docs
+    # first): the candidate set is output-bounded, so this avoids a second
+    # corpus-wide shingle pass entirely
+    cand_docs = df.join(cand_ids, "doc_id", "left_semi")
+    sh_cand = shingle_array(cand_docs, text_col)
     return verify_jaccard(cand, sh_cand, threshold)
 
 

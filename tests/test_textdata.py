@@ -74,8 +74,11 @@ class TestMinHash:
             [(i, "same words repeated here for everyone in this bucket")
              for i in range(n)], "doc_id long, text string")
         sig = D.minhash_signatures(D.shingle_array(df))
-        star = D.lsh_candidate_pairs(sig).collect()
-        assert len(star) == n - 1  # linear in bucket size
+        star = D.lsh_candidate_pairs(sig)
+        # linear in bucket size: n-1 distinct edges, one per member per
+        # band (no dedup shuffle — downstream is duplicate-tolerant)
+        assert star.distinct().count() == n - 1
+        assert star.count() == D.DEFAULT_BANDS * (n - 1)
         comp = D.candidate_components(
             D.lsh_candidate_pairs(sig)).collect()
         assert {r.comp for r in comp} == {0} and len(comp) == n
