@@ -68,3 +68,126 @@ def write_eval_report(report: DataFrame, path: str) -> None:
     (eval/AnnotationEvaluation.java:91-105 analog)."""
     (report.coalesce(1).write.mode("overwrite")
      .option("sep", "\t").option("header", "true").csv(path))
+
+
+# ------------------------------------------------------- B2: HTML export ---
+
+_HTML_HEAD = """<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>{title}</title><style>
+body {{ font-family: sans-serif; margin: 1em; }}
+.report {{ white-space: pre-wrap; border: 1px solid #eef; padding: 10px;
+          max-height: 800px; overflow: auto; float: left; width: 55%; }}
+.concepts {{ float: right; width: 40%; max-height: 800px; overflow: auto; }}
+.m {{ background: #cfe8ff; border-bottom: 1px solid #68a; cursor: help; }}
+.m.neg {{ background: #ffd6d6; }}
+.footer {{ clear: both; padding-top: 1em; color: #666; }}
+table {{ border-collapse: collapse; font-size: 90%; }}
+td, th {{ border: 1px solid #ccd; padding: 2px 6px; }}
+</style></head><body><h3>{title}</h3>
+"""
+
+
+def _escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def document_html(text: str, mentions: list[dict],
+                  title: str = "") -> str:
+    """One coded report page (HTMLExporter.export(Document):703-800
+    analog): the document text with mention spans wrapped in highlight
+    tags (tooltip = CUI + concept name + modifiers), next to a concept
+    table, plus the found-items footer. Negated mentions render in the
+    negative style, mirroring the reference's polarity styling."""
+    spans = sorted(
+        ({"start": int(m["start"]), "end": int(m["end"]),
+          "cui": m["cui"], "name": m.get("concept_name", ""),
+          "mods": m.get("modifiers") or {}}
+         for m in mentions if int(m.get("start", -1)) >= 0),
+        key=lambda s: (s["start"], -s["end"]))
+    out, offs = [], 0
+    for s in spans:
+        if s["start"] < offs:
+            continue  # overlapping span already rendered
+        out.append(_escape(text[offs:s["start"]]))
+        tip = _escape(f"{s['cui']}: {s['name']}" + "".join(
+            f" | {k}={v}" for k, v in sorted(s["mods"].items())))
+        neg = " neg" if s["mods"].get("Polarity") == "Negative_Polarity" \
+            else ""
+        out.append(f'<span class="m{neg}" title="{tip}">'
+                   f"{_escape(text[s['start']:s['end']])}</span>")
+        offs = s["end"]
+    out.append(_escape(text[offs:]))
+    rows = "".join(
+        f"<tr><td>{_escape(s['cui'])}</td><td>{_escape(s['name'])}</td>"
+        f"<td>{_escape(text[s['start']:s['end']])}</td></tr>"
+        for s in spans)
+    return (_HTML_HEAD.format(title=_escape(title))
+            + f'<div class="report">{"".join(out)}</div>'
+            + '<div class="concepts"><table><tr><th>code</th><th>concept'
+              '</th><th>text</th></tr>' + rows + "</table></div>"
+            + f'<div class="footer">found items: <b>{len(spans)}</b></div>'
+            + "</body></html>\n")
+
+
+def documents_html(documents: DataFrame, mentions: DataFrame) -> DataFrame:
+    """-> (doc_id, html): distributed page generation — mentions grouped
+    to their document (one shuffle on doc_id), page built in an
+    Arrow-batched pandas pass. The write is a partitioned text sink; at
+    scale this IS the export, no driver funnel."""
+    import pandas as pd
+
+    text_expr = F.expr(
+        "concat_ws('', transform(filter(spans, s -> s.kind = 'text'),"
+        " s -> s.text))")
+    docs = documents.select("doc_id", text_expr.alias("_text"))
+    men = mentions.groupBy("doc_id").agg(
+        F.collect_list(F.struct(
+            "cui", "concept_name", "start", "end",
+            *(["modifiers"] if "modifiers" in mentions.columns else []))
+        ).alias("_mentions"))
+    joined = docs.join(men, "doc_id", "left")
+
+    def gen(batches):
+        for pdf in batches:
+            htmls = []
+            for doc_id, text, ms in zip(pdf["doc_id"], pdf["_text"],
+                                        pdf["_mentions"]):
+                mlist = []
+                if ms is not None:
+                    for m in ms:
+                        d = m if isinstance(m, dict) else m.asDict()
+                        mlist.append(d)
+                htmls.append(document_html(text or "", mlist,
+                                           title=str(doc_id)))
+            if len(pdf):
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "html": htmls})
+
+    return joined.mapInPandas(gen, schema="doc_id string, html string")
+
+
+def write_html_reports(documents: DataFrame, mentions: DataFrame,
+                       path: str) -> None:
+    """B2 sink: one HTML page per document under ``path`` (file name =
+    doc_id, written from the executors), plus an index.html listing —
+    the reference's reports/ + index layout (HTMLExporter:32,703)."""
+    import os
+
+    pages = documents_html(documents, mentions)
+    os.makedirs(os.path.join(path, "reports"), exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            with open(os.path.join(path, "reports", f"{r.doc_id}.html"),
+                      "w") as f:
+                f.write(r.html)
+
+    pages.foreachPartition(write_part)
+    ids = [r.doc_id for r in pages.select("doc_id")
+           .orderBy("doc_id").collect()]
+    links = "".join(f'<a href="reports/{i}.html" target="frame">{i}</a>'
+                    "<br>\n" for i in ids)
+    with open(os.path.join(path, "index.html"), "w") as f:
+        f.write(_HTML_HEAD.format(title="Coded reports") + links
+                + "</body></html>\n")

@@ -66,3 +66,35 @@ def test_pyfiles_zip_importable(tmp_path):
                         text=True, cwd=str(tmp_path))  # NOT the repo dir
     assert r2.returncode == 0, r2.stderr
     assert r2.stdout.strip() == "ok"
+
+
+def test_html_export_pages_and_index(spark, tmp_path):
+    """B2: per-document annotated HTML + index (HTMLExporter analog)."""
+    import os
+
+    from nobletools_spark.context.lexicon import modifier_dictionary
+    from nobletools_spark.pipeline.export import (document_html,
+                                                  write_html_reports)
+
+    docs = generate_documents(spark, 6, seed=33, partitions=2)
+    out = run_pipeline(spark, docs, fixture_dictionary(), "best-match",
+                       context_dico=modifier_dictionary())
+    path = str(tmp_path / "html")
+    write_html_reports(out["documents"], out["mentions"], path)
+
+    assert os.path.exists(os.path.join(path, "index.html"))
+    pages = os.listdir(os.path.join(path, "reports"))
+    assert len(pages) == 6
+    sample = open(os.path.join(path, "reports", sorted(pages)[0])).read()
+    assert '<span class="m' in sample          # highlighted mentions
+    assert "found items: <b>" in sample        # footer counter
+    index = open(os.path.join(path, "index.html")).read()
+    assert index.count("reports/") == 6
+
+    # unit: span highlighting escapes HTML and marks negated mentions
+    html = document_html(
+        "no <evidence> of melanoma here",
+        [{"cui": "C1", "concept_name": "Melanoma", "start": 17, "end": 25,
+          "modifiers": {"Polarity": "Negative_Polarity"}}], title="t")
+    assert "&lt;evidence&gt;" in html
+    assert 'class="m neg"' in html and ">melanoma</span>" in html
