@@ -125,6 +125,30 @@ def running_user_totals(events: DataFrame,
                                     GroupStateTimeout.NoTimeout))
 
 
+def deduplicated_document_stream(docs: DataFrame,
+                                 ts_col: str | None = None,
+                                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup for a training-data ingest: the content
+    digest is computed map-side over the concatenated text spans (the
+    same 32-byte key the batch ``dedup_exact_documents`` shuffles), and
+    ``dropDuplicates`` keys on it. With an event-time column the dedup
+    state is BOUNDED via ``dropDuplicatesWithinWatermark`` — duplicates
+    arriving later than the watermark may be re-admitted, the standard
+    streaming-dedup tradeoff; without one the state grows with the number
+    of distinct documents (document the retention expectations before
+    running unbounded at 10^12-doc scale). Works on batch frames too."""
+    text = F.expr("concat_ws('', transform(filter(spans,"
+                  " s -> s.kind = 'text'), s -> s.text))")
+    out = docs.withColumn("_digest", F.md5(text.cast("binary")))
+    if docs.isStreaming and ts_col is not None:
+        out = (out.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+               .withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark(["_digest"]))
+    else:
+        out = out.dropDuplicates(["_digest"])
+    return out.drop("_digest")
+
+
 def correlated_event_pairs(events: DataFrame,
                            max_lag: str = "2 minutes",
                            watermark: str = "5 minutes") -> DataFrame:

@@ -169,3 +169,34 @@ class TestStreamStreamJoin:
         # a correct pair, and most of the batch result should surface
         assert got <= batch
         assert len(got) >= len(batch) * 0.5
+
+
+class TestStreamingDedup:
+    def test_stream_dedup_matches_batch(self, spark, tmp_path):
+        from nobletools_spark.streaming.pipeline import (
+            deduplicated_document_stream, read_document_stream)
+        base = generate_documents(spark, 12, seed=17, partitions=2)
+        # plant exact duplicates under fresh doc_ids
+        dup = base.limit(4).withColumn(
+            "doc_id", F.concat(F.lit("copy-"), F.col("doc_id")))
+        docs = base.unionByName(dup)
+        src = str(tmp_path / "dsrc")
+        docs.write.mode("overwrite").parquet(src)
+
+        # batch semantics: one survivor per distinct content
+        batch_out = deduplicated_document_stream(spark.read.parquet(src))
+        assert batch_out.count() == 12
+
+        stream = read_document_stream(spark, src, max_files_per_trigger=1)
+        out = deduplicated_document_stream(stream)
+        q = (out.writeStream.format("memory").queryName("dedupdocs")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "dckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM dedupdocs")
+        # streaming dedup state spans micro-batches: same 12 survivors
+        assert got.count() == 12
+        text = F.expr("concat_ws('', transform(filter(spans,"
+                      " s -> s.kind = 'text'), s -> s.text))")
+        assert got.select(F.md5(text.cast("binary"))).distinct().count() == 12
