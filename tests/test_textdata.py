@@ -301,6 +301,30 @@ class TestIvfAnn:
         # the probe vector itself always lands in the nearest cluster
         assert 0 in approx
 
+    def test_clustered_data_high_recall(self, spark):
+        # the IVF claim at scale is about CLUSTERED embeddings (the
+        # testdata vectors are near-random, the regime where any IVF's
+        # recall degrades to ~n_probe/n_list by construction): on
+        # Gaussian-cluster data a 3-of-16 probe must recover nearly the
+        # whole exact top-k
+        import numpy as np
+        from nobletools_spark.textdata.ann import brute_topk, build_ivf
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(20, 16)) * 5
+        rows = []
+        for i in range(1000):
+            c = i % 20
+            rows.append((i, (centers[c]
+                             + rng.normal(size=16) * 0.3).tolist()))
+        emb = spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<double>")
+        probe = rows[40][1]  # a member of cluster 0
+        idx = build_ivf(emb, n_clusters=16)
+        approx = {r.vec_id for r in
+                  idx.search(probe, k=10, n_probe=3).collect()}
+        exact = {r.vec_id for r in brute_topk(emb, probe, k=10).collect()}
+        assert len(approx & exact) >= 9
+
     def test_deterministic_build(self, spark, emb, probe):
         from nobletools_spark.textdata.ann import build_ivf
         a = build_ivf(emb, n_clusters=8).search(probe, k=5, n_probe=2)
