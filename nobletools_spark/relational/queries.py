@@ -783,13 +783,39 @@ def doc_fingerprint_groups(spark, sf):
     return fingerprint_dup_groups(d).orderBy("fingerprint")
 
 
-@_q("media_decode_dims", None)  # binary decode plumbing: rows-only
+@_q("media_decode_dims", """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+        ('0','2','4','6','8','a','c','e')),
+h AS (SELECT doc_id, media_ref,
+        list_transform(range(0, 3), i ->
+          list_reduce(list_transform(
+            string_split(substr(sha256(media_ref), 1 + i*2, 2), ''),
+            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+            (a, b) -> a * 16 + b)) AS b
+      FROM m)
+SELECT doc_id, media_ref,
+       CAST(64 + b[1] % 192 AS INT) AS width,
+       CAST(64 + b[2] % 192 AS INT) AS height,
+       CAST(CASE b[3] % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
+         AS channels
+FROM h ORDER BY doc_id, media_ref
+""")
 def media_decode_dims(spark, sf):
+    # oracle-checked end to end: the media bytes are minimal VALID PNGs
+    # whose IHDR fields derive from sha256(media_ref); the pure-stdlib
+    # header decoder extracts them back, and DuckDB recomputes the same
+    # dimensions directly from the hex digest
     from ..pipeline.documents import interleave_flat_documents
     from ..textdata.multimodal import decode_images, media_table
     flat = load(spark, sf, "documents")
     media = media_table(interleave_flat_documents(flat))
-    return decode_images(media).orderBy("doc_id", "media_ref")
+    return (decode_images(media)
+            .select("doc_id", "media_ref", "width", "height", "channels")
+            .orderBy("doc_id", "media_ref"))
 
 
 @_q("media_feature_vectors", None)

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the DECODE step is stubbed:
-``decode_images`` tries Pillow and otherwise falls back to a clearly-marked
-deterministic fake decoder (dimensions derived from a content hash). The
-Spark-side plumbing — schema, batch shape, partition preservation, UDF
-signatures — is real and tested; swapping the stub for a real decoder
-changes one function body, no plan changes.
+The DECODE chain is: Pillow if available -> a REAL pure-stdlib image
+HEADER decoder (PNG IHDR / GIF logical screen / BMP info header / JPEG
+SOFn — public container formats, no image library needed) -> a
+clearly-marked deterministic fake for non-image bytes. The sandbox media
+bytes are synthesized minimal-valid PNG headers (dimensions derived from
+sha256(media_ref)), so the header decoder runs for real end-to-end and
+the decode output is independently recomputable by the DuckDB oracle.
+Full pixel decode / the ML featurizer remain sandbox stubs with real
+Spark plumbing (schema, batching, partition shape).
 
 Scale posture: media bytes never shuffle — decode/feature/frame-sample are
 all narrow mapInPandas stages over the media table; only the small typed
@@ -16,6 +19,8 @@ outputs (dims, embeddings, frame indexes) flow further.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -56,61 +61,126 @@ FRAMES_SCHEMA = ST.StructType([
 ])
 
 
+def synth_png(ref: str) -> bytes:
+    """Minimal VALID PNG (signature + IHDR chunk with correct CRC);
+    dimensions/colortype derive from sha256(media_ref) so the DuckDB
+    oracle can recompute them from the hex digest. Sandbox stand-in for
+    an object-store fetch, which at scale would be a mapInPandas ranged
+    GET keyed by media_ref."""
+    d = hashlib.sha256(ref.encode()).digest()
+    w = 64 + d[0] % 192
+    h = 64 + d[1] % 192
+    colortype = (0, 2, 6)[d[2] % 3]      # gray / rgb / rgba
+    ihdr = struct.pack(">II", w, h) + bytes([8, colortype, 0, 0, 0])
+    chunk = (struct.pack(">I", 13) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
 def media_table(documents: DataFrame) -> DataFrame:
-    """P0b: non-text spans of the interleaved documents -> media rows.
-    Content bytes are synthesized deterministically from the media_ref
-    (sandbox stand-in for an object-store fetch, which at scale would be a
-    mapInPandas ranged GET keyed by media_ref)."""
+    """P0b: non-text spans of the interleaved documents -> media rows
+    with synthesized-PNG content bytes (narrow mapInPandas fetch)."""
     spans = (documents
              .select("doc_id", F.explode("spans").alias("s"))
              .where(F.col("s.kind") != "text")
              .select("doc_id", F.col("s.media_ref").alias("media_ref"),
                      F.col("s.kind").alias("kind")))
-    content = F.sha2(F.col("media_ref"), 256).cast("binary")
-    return spans.select(
-        "doc_id", "media_ref", "kind", content.alias("content"),
-        F.create_map(F.lit("src"), F.col("media_ref")).alias("meta"))
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "content": [synth_png(r) for r in pdf["media_ref"]],
+                    "meta": [{"src": r} for r in pdf["media_ref"]]})
+
+    return spans.mapInPandas(fetch, schema=MEDIA_SCHEMA)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def header_dims(b: bytes) -> tuple[int, int, int, str] | None:
+    """REAL pure-stdlib image header decode — (width, height, channels,
+    format) for PNG / GIF / BMP / JPEG containers, None otherwise. These
+    are the published container layouts; no image library involved."""
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h, _PNG_CHANNELS.get(b[25], 3), "png-header"
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h, 3, "gif-header"
+    if len(b) >= 30 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        return w, abs(h), max(1, bpp // 8), "bmp-header"
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return w, h, b[i + 9], "jpeg-header"
+            i += 2 + seg_len
+    return None
 
 
 def _fake_dims(content: bytes) -> tuple[int, int, int]:
-    """Deterministic fake decode: dims from the content hash. STUB — a
-    real deployment replaces this with PIL/libvips decode."""
+    """Deterministic fake for NON-image bytes. STUB — only reached when
+    the content is not a recognizable image container."""
     h = hashlib.blake2b(content or b"", digest_size=6).digest()
     return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 3)
 
 
 def decode_images(media: DataFrame) -> DataFrame:
-    """Decode step (narrow mapInPandas). Tries Pillow; falls back to the
-    deterministic fake decoder when unavailable."""
+    """Decode step (narrow mapInPandas): Pillow if importable, else the
+    real stdlib header decoder, else the marked fake."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
             from PIL import Image  # noqa: F401
             import io
-            decoder = "pillow"
-
-            def dims(b):
-                try:
-                    with Image.open(io.BytesIO(b)) as im:
-                        return im.width, im.height, len(im.getbands())
-                except Exception:
-                    return _fake_dims(b)
+            have_pillow = True
         except ImportError:
-            decoder = "stub"
-            dims = _fake_dims
+            have_pillow = False
+
+        def dims(b: bytes) -> tuple[int, int, int, str]:
+            if have_pillow:
+                try:
+                    import io
+                    from PIL import Image
+                    with Image.open(io.BytesIO(b)) as im:
+                        return (im.width, im.height,
+                                len(im.getbands()), "pillow")
+                except Exception:
+                    pass
+            got = header_dims(b)
+            if got is not None:
+                return got
+            w, h, c = _fake_dims(b)
+            return w, h, c, "stub"
 
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "media_ref", "width",
                                     "height", "channels", "decoder")}
             for doc_id, ref, content in zip(pdf["doc_id"], pdf["media_ref"],
                                             pdf["content"]):
-                w, h, c = dims(bytes(content) if content is not None else b"")
+                w, h, c, dec = dims(bytes(content)
+                                    if content is not None else b"")
                 rows["doc_id"].append(doc_id)
                 rows["media_ref"].append(ref)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["channels"].append(c)
-                rows["decoder"].append(decoder)
+                rows["decoder"].append(dec)
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)
 

@@ -241,14 +241,44 @@ class TestMultimodal:
             assert r.media_ref.startswith("media://")
             assert r.content is not None and len(r.content) > 0
 
-    def test_decode_deterministic(self, media):
-        d1 = {r.media_ref: (r.width, r.height, r.channels)
-              for r in M.decode_images(media).collect()}
+    def test_decode_deterministic_via_real_header_parse(self, media):
+        rows1 = M.decode_images(media).collect()
+        d1 = {r.media_ref: (r.width, r.height, r.channels) for r in rows1}
         d2 = {r.media_ref: (r.width, r.height, r.channels)
               for r in M.decode_images(media).collect()}
         assert d1 == d2 and d1
         for w, h, c in d1.values():
-            assert 64 <= w < 256 and 64 <= h < 256 and 1 <= c <= 3
+            assert 64 <= w < 256 and 64 <= h < 256 and c in (1, 3, 4)
+        # the synthesized bytes are valid PNGs -> the REAL header decoder
+        # (or Pillow, if installed) handles them; never the fake
+        assert {r.decoder for r in rows1} <= {"png-header", "pillow"}
+
+    def test_header_decoder_all_formats(self):
+        import struct
+        # PNG via the synthesizer (round-trips the IHDR fields)
+        import hashlib
+        ref = "media://x/1"
+        d = hashlib.sha256(ref.encode()).digest()
+        got = M.header_dims(M.synth_png(ref))
+        assert got == (64 + d[0] % 192, 64 + d[1] % 192,
+                       {0: 1, 2: 3, 6: 4}[(0, 2, 6)[d[2] % 3]],
+                       "png-header")
+        # GIF89a logical screen 320x200
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+        assert M.header_dims(gif) == (320, 200, 3, "gif-header")
+        # BMP, 24bpp, height negative (top-down) -> abs
+        bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480)
+               + b"\x01\x00" + struct.pack("<H", 24) + b"\x00" * 8)
+        assert M.header_dims(bmp) == (640, 480, 3, "bmp-header")
+        # JPEG: SOI, APP0 segment, SOF0 with h=120 w=80, 3 components
+        jpeg = (b"\xff\xd8"
+                + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+                + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", 120, 80) + b"\x03")
+        assert M.header_dims(jpeg) == (80, 120, 3, "jpeg-header")
+        # non-image bytes -> None (falls to the marked fake downstream)
+        assert M.header_dims(b"plain text bytes here") is None
+        assert M.header_dims(b"") is None
 
     def test_features_shape(self, media):
         feats = M.media_features(media).collect()
