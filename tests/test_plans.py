@@ -1,0 +1,104 @@
+"""Physical-plan regression guards: the plan properties BENCH.md claims
+(pushdown, pruning, broadcast dimensions, narrow match stages, no
+cartesian products in scale paths) asserted against `.explain` output so
+refactors can't silently regress them."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    # formatted mode renders PushedFilters/ReadSchema untruncated
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def scan_block(df, table: str) -> str:
+    plan = plan_of(df, "formatted")
+    blocks = plan.split("\n\n")
+    for b in blocks:
+        if "Scan parquet" in b and table in b:
+            return b
+    return ""
+
+
+class TestPushdownAndPruning:
+    def test_filters_reach_parquet_scan(self, spark):
+        from nobletools_spark.relational.queries import QUERIES
+        df = QUERIES["scan_filter_project"].spark(spark, SF)
+        scan = scan_block(df, "lineitem")
+        assert "PushedFilters" in scan
+        assert "GreaterThan" in scan and "LessThan" in scan
+        # projection pruned to the 6 needed columns (4 out + 2 filters)
+        read = scan.split("ReadSchema:")[1].splitlines()[0]
+        assert read.count(",") <= 5
+
+    def test_q5_broadcasts_dimensions(self, spark):
+        from nobletools_spark.relational.queries import QUERIES
+        plan = plan_of(QUERIES["join_revenue_by_nation"].spark(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2   # nation + region
+        assert "CartesianProduct" not in plan
+
+
+class TestKgPipelinePlans:
+    def test_mention_detect_is_narrow(self, spark):
+        # the match stage must not shuffle: scan -> (project) -> two
+        # mapInPandas stages (split + match), zero Exchange operators
+        from nobletools_spark.pipeline.documents import (
+            interleave_flat_documents)
+        from nobletools_spark.pipeline.stages import (detect_mentions,
+                                                      split_sentences)
+        from nobletools_spark.terminology.fixture import fixture_dictionary
+        flat = spark.read.parquet(f"{SF}/documents.parquet")
+        bc = spark.sparkContext.broadcast(fixture_dictionary())
+        mentions = detect_mentions(
+            split_sentences(interleave_flat_documents(flat)), bc)
+        plan = plan_of(mentions)
+        assert "Exchange" not in plan
+        assert plan.count("MapInPandas") == 2
+
+    def test_context_pass_single_doc_shuffle(self, spark):
+        from nobletools_spark.context.lexicon import modifier_dictionary
+        from nobletools_spark.pipeline.documents import (
+            interleave_flat_documents)
+        from nobletools_spark.pipeline.stages import (annotate_documents,
+                                                      split_sentences)
+        from nobletools_spark.terminology.fixture import fixture_dictionary
+        flat = spark.read.parquet(f"{SF}/documents.parquet")
+        ann = annotate_documents(
+            split_sentences(interleave_flat_documents(flat)),
+            spark.sparkContext.broadcast(fixture_dictionary()),
+            spark.sparkContext.broadcast(modifier_dictionary()))
+        plan = plan_of(ann)
+        # exactly one repartition (doc_id) buys document-ordered state
+        assert plan.count("Exchange") == 1
+
+
+class TestScalePathPlans:
+    def test_minhash_no_cartesian_no_collect_list(self, spark):
+        from nobletools_spark.textdata.dedup import (lsh_candidate_pairs,
+                                                     minhash_signatures,
+                                                     shingle_array)
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        star = lsh_candidate_pairs(minhash_signatures(shingle_array(d)))
+        plan = plan_of(star)
+        assert "CartesianProduct" not in plan
+        assert "collect_list" not in plan    # star emission is window-min
+
+    def test_shuffle_match_joins_not_broadcast_dictionary(self, spark):
+        # the UMLS-scale path must join the dictionary tables, never
+        # collect them to the driver: its plan contains the word/term
+        # joins and no Python-side dictionary broadcast
+        from nobletools_spark.pipeline.shuffle_match import (
+            detect_mentions_shuffle)
+        from nobletools_spark.pipeline.stages import SENTENCES_SCHEMA
+        from nobletools_spark.terminology.build import build_terminology
+        from nobletools_spark.terminology.fixture import FIXTURE_CONCEPTS
+        tables = build_terminology(spark, FIXTURE_CONCEPTS, compact=True)
+        sents = spark.createDataFrame(
+            [("d1", 0, "Prose", "melanoma of the skin", 0, 0)],
+            schema=SENTENCES_SCHEMA)
+        plan = plan_of(detect_mentions_shuffle(sents, tables))
+        assert plan.count("Join") >= 3       # word -> term -> concept
