@@ -44,6 +44,39 @@ class TestSalting:
         assert rep["partitions"] == 8
         assert rep["skew_ratio"] is not None and rep["skew_ratio"] < 2.0
 
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        # third leg of the skew story (after salting + blacklist): the
+        # join paths lean on AQE's runtime skew-join — evidence that a
+        # 95%-hot key actually triggers the split (SortMergeJoin(skew=
+        # true) + AQEShuffleRead skewed) under per-session thresholds
+        # scaled to test-sized shuffles
+        s = spark.newSession()
+        for k, v in {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin."
+            "skewedPartitionThresholdInBytes": "16384",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.shuffle.partitions": "8",
+        }.items():
+            s.conf.set(k, v)
+        left = (s.range(100_000)
+                .withColumn("k", F.when(F.col("id") % 100 < 95, F.lit(0))
+                            .otherwise(F.col("id") % 16))
+                .withColumn("pad", F.sha2(F.col("id").cast("string"), 256)))
+        right = (s.range(50_000)
+                 .withColumn("k", F.col("id") % 16)
+                 .withColumn("pad2", F.sha2(F.col("id").cast("string"),
+                                            512)))
+        j = left.join(right, "k").select(F.sum(F.length("pad")))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+
     def test_hot_word_blacklist_prunes_postings(self):
         # the terminology-side skew defense: the hot word's posting list is
         # pre-pruned (BlacklistHandler analog), so a sentence full of hot
