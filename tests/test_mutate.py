@@ -86,6 +86,53 @@ class TestMutateEqualsRebuild:
         full = build_terminology(spark, CONCEPTS, cfg)
         assert remove_concept(full, "NOPE", cfg) is full
 
+    @pytest.mark.parametrize("seed", [3, 11, 27])
+    def test_randomized_mutation_sequences_equal_rebuild(self, spark, cfg,
+                                                         seed):
+        # randomized oracle: random concept sets with shared synonyms,
+        # word==term single-word names, and shared-prefix vocab; a random
+        # remove+add+update sequence must land exactly on the rebuild
+        import random
+        rng = random.Random(seed)
+        pool = ["melanoma", "lesion", "margin", "tumor", "nevus", "cell",
+                "deep", "skin", "ductal", "nodule"]
+
+        def rand_concepts(n, tag):
+            out = []
+            for i in range(n):
+                syns = [" ".join(rng.sample(pool, rng.randint(1, 3)))
+                        for _ in range(rng.randint(1, 3))]
+                out.append(dict(cui=f"{tag}{i:03d}", name=syns[0],
+                                synonyms=syns, sem_types=["T"],
+                                sources=["S"], terms=[(syns[0], "PT")],
+                                definitions=[],
+                                codes={"S": f"{tag}{i:03d}c"}))
+            return out
+
+        base = rand_concepts(6, "R")
+        extra = rand_concepts(2, "X")
+        tables = build_terminology(spark, base, cfg)
+
+        removed = rng.choice(base)["cui"]
+        tables = remove_concept(tables, removed, cfg)
+        tables = add_concept(tables, extra[0], cfg)
+        upd_src = rng.choice([c for c in base if c["cui"] != removed])
+        updated = dict(upd_src,
+                       synonyms=[" ".join(rng.sample(pool, 2))])
+        tables = update_concept(tables, updated, cfg)
+        tables = add_concept(tables, extra[1], cfg)
+
+        final = ([c for c in base
+                  if c["cui"] not in (removed, upd_src["cui"])]
+                 + [extra[0], updated, extra[1]])
+        rebuilt = build_terminology(spark, final, cfg)
+        got, want = _comparable(tables, cfg), _comparable(rebuilt, cfg)
+        # code_xref tie-breaks depend on insertion order, which the
+        # mutation sequence legitimately permutes; everything else must
+        # be exactly equal
+        got.pop("code_map"), want.pop("code_map")
+        assert got == want
+
     def test_persisted_roundtrip_after_mutation(self, spark, cfg, tmp_path):
         from nobletools_spark.terminology.persist import (load_terminology,
                                                           save_terminology)
