@@ -154,21 +154,27 @@ def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    """Oracle-backed queries FIRST: the driver evaluates the first 50 entries
+    of this dict, so every query with an ``oracle_sql()`` entry must land in
+    that window; rows-only queries trail."""
+    all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: qd.spark for name, qd in QUERIES.items()
     }
-    out.update({
+    all_q.update({
+        "kg_span_invariant": _kg_span_invariant,
+        "kg_ancestors": _kg_ancestors,
+        "kg_root_paths": _kg_root_paths,
         "kg_sentences": _kg_sentences,
         "kg_mentions": _kg_mentions,
         "kg_mention_counts": _kg_mention_counts,
         "kg_triples": _kg_triples,
-        "kg_span_invariant": _kg_span_invariant,
         "kg_annotated": _kg_annotated,
-        "kg_ancestors": _kg_ancestors,
         "kg_canonical_triples": _kg_canonical_triples,
         "kg_instances": _kg_instances,
-        "kg_root_paths": _kg_root_paths,
     })
+    with_oracle = set(oracle_sql())
+    out = {n: f for n, f in all_q.items() if n in with_oracle}
+    out.update({n: f for n, f in all_q.items() if n not in with_oracle})
     return out
 
 

@@ -86,15 +86,16 @@ def ehost_to_gold(spark: SparkSession, xml_docs: DataFrame) -> DataFrame:
 
 def mentions_to_ehost_xml(doc_id: str, mentions: list[dict]) -> str:
     """InstancesToEhost analog: system mentions of one document -> the
-    eHOST XML shape parse_ehost_xml reads back (round-trip pinned)."""
-    parts = [f'<annotations textSource="{doc_id}.txt">']
+    eHOST XML shape parse_ehost_xml reads back (round-trip pinned).
+    All attribute values go through quoteattr so quotes/&/< in modifier
+    values, CUIs, or doc ids can't produce malformed XML."""
+    from xml.sax.saxutils import escape, quoteattr
+    parts = [f"<annotations textSource={quoteattr(doc_id + '.txt')}>"]
     slot_counter = len(mentions)
     slot_parts: list[str] = []
     for i, m in enumerate(mentions):
         mid = f"Instance_{i}"
-        text = (m.get("text") or m.get("matched_term") or "")
-        text = (text.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;"))
+        text = escape(m.get("text") or m.get("matched_term") or "")
         parts.append(
             f'<annotation><mention id="{mid}"/>'
             f'<span start="{int(m["start"])}" end="{int(m["end"])}"/>'
@@ -107,13 +108,13 @@ def mentions_to_ehost_xml(doc_id: str, mentions: list[dict]) -> str:
             slots.append(f'<hasSlotMention id="{sid}"/>')
             slot_parts.append(
                 f'<stringSlotMention id="{sid}">'
-                f'<mentionSlot id="{k}"/>'
-                f'<stringSlotMentionValue value="{v}"/>'
+                f"<mentionSlot id={quoteattr(str(k))}/>"
+                f"<stringSlotMentionValue value={quoteattr(str(v))}/>"
                 f"</stringSlotMention>")
         parts.append(
             f'<classMention id="{mid}">{"".join(slots)}'
-            f'<mentionClass id="{m["cui"]}">{text}</mentionClass>'
-            f"</classMention>")
+            f"<mentionClass id={quoteattr(str(m['cui']))}>{text}"
+            f"</mentionClass></classMention>")
     parts.extend(slot_parts)
     parts.append("</annotations>")
     return "".join(parts)

@@ -818,8 +818,35 @@ def media_decode_dims(spark, sf):
             .orderBy("doc_id", "media_ref"))
 
 
-@_q("media_feature_vectors", None)
+@_q("media_feature_vectors", """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref
+  FROM documents),
+h AS (
+  SELECT doc_id, media_ref,
+         sha256(media_ref) || sha256(media_ref || ':1') AS hx
+  FROM m),
+b AS (
+  SELECT doc_id, media_ref,
+         list_transform(range(0, 64), i ->
+           list_reduce(list_transform(
+             string_split(substr(hx, 1 + i*2, 2), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, x) -> a * 16 + x)) AS bytes
+  FROM h)
+SELECT doc_id, media_ref,
+       CAST(64 AS INT) AS dim,
+       round(list_reduce(list_transform(bytes, x -> x / 256.0 - 0.5),
+                         (a, x) -> a + x), 4) AS checksum,
+       round(bytes[1] / 256.0 - 0.5, 6) AS head
+FROM b ORDER BY doc_id, media_ref
+""")
 def media_feature_vectors(spark, sf):
+    # oracle-checked: the stub embedding derives from sha256(media_ref)
+    # blocks with exactly-representable components (byte/256 - 0.5), so
+    # DuckDB recomputes dim, the component sum, and the first component
+    # bit-for-bit from the hex digest alone
     from ..pipeline.documents import interleave_flat_documents
     from ..textdata.multimodal import media_features, media_table
     flat = load(spark, sf, "documents")
@@ -829,7 +856,10 @@ def media_feature_vectors(spark, sf):
                     F.size("embedding").alias("dim"),
                     F.round(F.aggregate(
                         "embedding", F.lit(0.0),
-                        lambda a, x: a + x.cast("double")), 4).alias("sum"))
+                        lambda a, x: a + x.cast("double")), 4)
+                    .alias("checksum"),
+                    F.round(F.element_at("embedding", 1).cast("double"), 6)
+                    .alias("head"))
             .orderBy("doc_id", "media_ref"))
 
 

@@ -195,7 +195,10 @@ _PARA_PATTERN = re.compile(f"({_PARAGRAPH}|{_DIVS}|{_PARTS})",
 _DSPACE_PATTERN = re.compile(f"({_DSPACE_PARAGRAPH}|{_DIVS}|{_PARTS})",
                              re.MULTILINE | re.IGNORECASE)
 _SINGLE_SPACE = re.compile(r"^[^\n]{5,}\n[^\n]{5,}$", re.MULTILINE | re.DOTALL)
-_PARTS_FULL = re.compile(_PARTS, re.IGNORECASE)
+# case-SENSITIVE on purpose: ParagraphProcessor.java's part-label check is
+# delim.matches(PARTS) (Java String.matches, no flag) — only the finder
+# pattern above is case-insensitive, so "part 1:" splits but gets no label
+_PARTS_FULL = re.compile(_PARTS)
 _PARA_WS = re.compile(r"^\s+", re.DOTALL | re.MULTILINE)
 
 

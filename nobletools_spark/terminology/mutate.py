@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..config import SearchConfig
 from .build import (apply_term_filter, build_blacklist_df, build_tables,
@@ -176,7 +177,21 @@ def remove_concept(tables: dict[str, DataFrame], cui: str,
         .where(F.col("term_count") > 0))
 
     out["regex_terms"] = tables["regex_terms"].where(F.col("cui") != cui)
-    out["code_xref"] = tables["code_xref"].where(F.col("cui") != cui)
+    # Codes the removed concept had WON under putIfAbsent must be
+    # reassigned to the earliest surviving holder (min _idx), exactly as a
+    # full rebuild over the survivors would file them; codes nobody else
+    # holds simply disappear.
+    removed_codes = tables["code_xref"].where(F.col("cui") == cui)
+    surviving_holders = (
+        out["concepts"].select("_idx", "cui", F.explode("codes").alias("c"))
+        .select("_idx", "cui", F.col("c.code").alias("code"))
+        .where((F.col("code") != "") & (F.col("code") != "NOCODE"))
+        .join(removed_codes.select("code"), "code", "left_semi"))
+    w = Window.partitionBy("code").orderBy("_idx")
+    reassigned = (surviving_holders.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).select("code", "cui"))
+    out["code_xref"] = (tables["code_xref"].where(F.col("cui") != cui)
+                        .unionByName(reassigned))
     return _rederive(out, had)
 
 

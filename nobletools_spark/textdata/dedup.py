@@ -99,10 +99,22 @@ def lsh_candidate_pairs(signatures: DataFrame,
     (band, hash) partition — one shuffle keyed on the band hash."""
     from pyspark.sql.window import Window
     rows = num_hashes // bands
+    # element_at past the array end yields NULL (non-ANSI) which would
+    # silently collapse a band into one constant bucket — fail loudly if
+    # the caller's num_hashes disagrees with the signature stage's
+    len_ok = F.assert_true(
+        F.size("sig") == num_hashes,
+        F.concat(F.lit("lsh_candidate_pairs: size(sig) != num_hashes="),
+                 F.lit(str(num_hashes)), F.lit(" for doc "), F.col("doc_id")))
+
+    def _band_hash(b: int):
+        h = F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
+                         for r in range(rows)])
+        # fold the assertion into band 0 so column pruning can't drop it
+        return F.when(len_ok.isNull(), h) if b == 0 else h
+
     band_cols = [
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
-                              for r in range(rows)]).alias("h"))
+        F.struct(F.lit(b).alias("band"), _band_hash(b).alias("h"))
         for b in range(bands)
     ]
     exploded = (signatures
@@ -166,6 +178,7 @@ def candidate_components(pairs: DataFrame, max_rounds: int = 15,
     labels = (und.groupBy("x")
               .agg(F.least(F.min("y"), F.first("x")).alias("comp"))
               .localCheckpoint())
+    converged = False
     for _ in range(max_rounds):
         nbr = (und.join(labels.withColumnRenamed("x", "y"), "y")
                .groupBy("x").agg(F.min("comp").alias("nbr_comp")))
@@ -177,7 +190,16 @@ def candidate_components(pairs: DataFrame, max_rounds: int = 15,
                    .where(F.col("comp") != F.col("old")))
         labels = nxt
         if changed.isEmpty():
+            converged = True
             break
+    if not converged:
+        # a high-diameter candidate graph could leave one component split
+        # into several — dropped coverage must be visible, not silent
+        import warnings
+        warnings.warn(
+            f"candidate_components: min-label propagation still changing "
+            f"after {max_rounds} rounds; labels may split one component "
+            f"into several (raise max_rounds)", RuntimeWarning)
     return labels.select(F.col("x").alias("doc_id"), "comp")
 
 

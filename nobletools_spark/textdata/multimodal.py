@@ -189,21 +189,29 @@ def decode_images(media: DataFrame) -> DataFrame:
 
 
 def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Feature-extract step: content bytes -> fixed-dim float embedding.
-    STUB featurizer (hash-derived, deterministic); the real model runs in
-    the same mapInPandas slot with identical schema/batching."""
+    """Feature-extract step: media row -> fixed-dim float embedding.
+    STUB featurizer, deterministic and externally checkable: the bytes
+    derive from sha256(media_ref) blocks (sha256(ref), sha256(ref+':1'),
+    ...) so an independent SQL engine can recompute the embedding from
+    the ref alone, and each component is byte/256 - 0.5 — an exact
+    multiple of 1/256, representable without error in float32 AND
+    float64, so sums/rounds agree bit-for-bit across engines. The real
+    model runs in the same mapInPandas slot with identical
+    schema/batching (it would read ``content`` instead of the ref)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         for pdf in batches:
             rows = {"doc_id": [], "media_ref": [], "embedding": []}
-            for doc_id, ref, content in zip(pdf["doc_id"], pdf["media_ref"],
-                                            pdf["content"]):
-                raw = hashlib.blake2b(
-                    bytes(content) if content is not None else b"",
-                    digest_size=dim).digest()
-                vec = (np.frombuffer(raw, dtype=np.uint8)
-                       .astype("float32") / 255.0 - 0.5)
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                raw = b""
+                block = 0
+                while len(raw) < dim:
+                    key = ref if block == 0 else f"{ref}:{block}"
+                    raw += hashlib.sha256(str(key).encode()).digest()
+                    block += 1
+                vec = (np.frombuffer(raw[:dim], dtype=np.uint8)
+                       .astype("float32") / 256.0 - 0.5)
                 rows["doc_id"].append(doc_id)
                 rows["media_ref"].append(ref)
                 rows["embedding"].append(vec.tolist())

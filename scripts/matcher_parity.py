@@ -770,6 +770,10 @@ PARAGRAPH_CASES = [
     # PART markers (label the paragraph they close)
     "PART 1: specimen A description text.\nPART 2: specimen B "
     "description.\nPARTS 1 AND 2: combined note.\n",
+    # lowercase part marker: splits (finder is case-insensitive) but must
+    # NOT be labeled (Java's delim.matches(PARTS) is case-sensitive)
+    "part 1: lowercase specimen text.\npart 2: second lowercase "
+    "specimen.\nPART 3: uppercase closes labeled.\n",
     # double-spaced document (no single-spaced pair of >=5-char lines):
     # only >=3-newline gaps split
     "Line alpha.\n\nLine beta.\n\n\nLine gamma.\n",

@@ -83,3 +83,15 @@ class TestRoundTrip:
         xml = mentions_to_ehost_xml("d", [{"cui": "C", "start": 0,
                                            "end": 3, "text": "a<b&c"}])
         assert "a&lt;b&amp;c" in xml
+
+    def test_attribute_values_quoted(self):
+        # quotes/&/< inside attribute positions (modifier value, slot key,
+        # cui, doc_id) must stay well-formed and survive the round trip
+        xml = mentions_to_ehost_xml(
+            'd"q', [{"cui": 'C<&"x', "start": 0, "end": 3,
+                     "text": "abc",
+                     "attrs": {'Pol"key': 'va"l&<ue'}}])
+        rows = parse_ehost_xml(xml, doc_id="dq")
+        assert rows == [{"doc_id": "dq", "cui": 'C<&"x', "start": 0,
+                         "end": 3, "text": "abc",
+                         "attrs": {'Pol"key': 'va"l&<ue'}}]

@@ -97,6 +97,10 @@ class TestMutateEqualsRebuild:
         pool = ["melanoma", "lesion", "margin", "tumor", "nevus", "cell",
                 "deep", "skin", "ductal", "nodule"]
 
+        # codes drawn from a small shared pool so removals force
+        # putIfAbsent winner reassignment (shared-code rebuild semantics)
+        code_pool = ["K1", "K2", "K3", "K4"]
+
         def rand_concepts(n, tag):
             out = []
             for i in range(n):
@@ -106,7 +110,7 @@ class TestMutateEqualsRebuild:
                                 synonyms=syns, sem_types=["T"],
                                 sources=["S"], terms=[(syns[0], "PT")],
                                 definitions=[],
-                                codes={"S": f"{tag}{i:03d}c"}))
+                                codes={"S": rng.choice(code_pool)}))
             return out
 
         base = rand_concepts(6, "R")
@@ -127,10 +131,8 @@ class TestMutateEqualsRebuild:
                  + [extra[0], updated, extra[1]])
         rebuilt = build_terminology(spark, final, cfg)
         got, want = _comparable(tables, cfg), _comparable(rebuilt, cfg)
-        # code_xref tie-breaks depend on insertion order, which the
-        # mutation sequence legitimately permutes; everything else must
-        # be exactly equal
-        got.pop("code_map"), want.pop("code_map")
+        # includes code_map: remove_concept reassigns shared-code winners
+        # to the earliest surviving holder, exactly as a rebuild files them
         assert got == want
 
     def test_persisted_roundtrip_after_mutation(self, spark, cfg, tmp_path):

@@ -281,11 +281,18 @@ class TestMultimodal:
         assert M.header_dims(b"") is None
 
     def test_features_shape(self, media):
+        import hashlib
         feats = M.media_features(media).collect()
         assert feats
         for r in feats:
             assert len(r.embedding) == M.FEATURE_DIM
             assert all(-0.5 <= x <= 0.5 for x in r.embedding)
+            # stub contract: bytes are sha256(ref) || sha256(ref+':1'),
+            # components byte/256 - 0.5 exactly (no float32 error)
+            raw = (hashlib.sha256(r.media_ref.encode()).digest()
+                   + hashlib.sha256(f"{r.media_ref}:1".encode()).digest())
+            want = [b / 256.0 - 0.5 for b in raw[:M.FEATURE_DIM]]
+            assert list(r.embedding) == want
 
     def test_frame_sampling(self, spark):
         media = spark.createDataFrame(
