@@ -1,0 +1,66 @@
+"""Differential pin for the generated KG DuckDB oracles (kg_oracle.py):
+the full best-match pipeline re-derived in SQL must match the live Spark
+queries value-for-value on the driver corpus — sentences, mentions
+(spans, scores, annotation JSON), counts, triples, annotated defaults.
+This is the same canonicalization the driver's correctness harness uses.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    for c in pdf.columns:
+        if pdf[c].dtype.kind == "f":
+            pdf[c] = pdf[c].round(6)
+        pdf[c] = pdf[c].astype(str)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("name", [
+    "kg_sentences", "kg_mentions", "kg_mention_counts", "kg_triples",
+    "kg_annotated"])
+def test_kg_oracle_matches_spark(spark, con, entry, name):
+    got = canon(entry.queries()[name](spark, SF).toPandas())
+    want = canon(con.execute(entry.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    assert got.equals(want), (
+        pd.concat([got[(got != want).any(axis=1)].head(3),
+                   want[(got != want).any(axis=1)].head(3)]).to_string())
+
+
+def test_window_composition(entry):
+    """Every oracle-backed query must land in the driver's 50-entry
+    window (the first 50 queries()); only rows-only queries may trail,
+    plus the three explicitly demoted pytest-pinned trivial ones."""
+    names = list(entry.queries())
+    oracle = set(entry.oracle_sql())
+    assert all(n in oracle for n in names[:50])
+    tail_unchecked = [n for n in names[50:] if n not in oracle]
+    assert set(tail_unchecked) <= {
+        "embedding_ann_lsh_pairs", "kg_canonical_triples", "kg_instances"}
