@@ -279,5 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_counts": KO.kg_mention_counts_sql(),
         "kg_triples": KO.kg_triples_sql(),
         "kg_annotated": KO.kg_annotated_sql(KO.default_modifiers_json()),
+        "kg_instances": KO.kg_instances_sql(),
+        "kg_canonical_triples": KO.kg_canonical_triples_sql(),
     })
     return out

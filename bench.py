@@ -124,12 +124,47 @@ def run(sf_dir: str, cpus: int) -> dict:
     lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo_cpus * 4)))
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "8"))
-    scale_lo = _scale_probe(sf_dir, lo_cpus, factor, entry_mod)
-    scale_hi = _scale_probe(sf_dir, hi_cpus, factor, entry_mod)
-    eff = None
-    if scale_lo["docs_per_sec"] and scale_hi["docs_per_sec"]:
-        speedup = scale_hi["docs_per_sec"] / scale_lo["docs_per_sec"]
-        eff = round(speedup / (hi_cpus / lo_cpus), 3)
+    # The host shows episodic cross-VM contention that can depress a
+    # single lo/hi draw by 10-20% (observed draw-to-draw efficiency range
+    # 0.74-0.93 on identical code). One draw is therefore not evidence;
+    # the recorded figure is the MEDIAN efficiency over >=3 pinned draws,
+    # drawing up to 5 until the spread across draws is <= 0.05.
+    min_draws = int(os.environ.get("SPARK_GRAFT_SCALE_DRAWS_MIN", "3"))
+    max_draws = int(os.environ.get("SPARK_GRAFT_SCALE_DRAWS_MAX", "5"))
+    spread_target = float(os.environ.get("SPARK_GRAFT_SCALE_SPREAD", "0.05"))
+    draws: list[dict] = []
+    while len(draws) < max_draws:
+        lo = _scale_probe(sf_dir, lo_cpus, factor, entry_mod)
+        hi = _scale_probe(sf_dir, hi_cpus, factor, entry_mod)
+        d_eff = None
+        if lo["docs_per_sec"] and hi["docs_per_sec"]:
+            d_eff = round((hi["docs_per_sec"] / lo["docs_per_sec"])
+                          / (hi_cpus / lo_cpus), 3)
+        draws.append({"lo": lo, "hi": hi, "efficiency": d_eff})
+        effs = sorted(d["efficiency"] for d in draws
+                      if d["efficiency"] is not None)
+        if (len(draws) >= min_draws and effs
+                and effs[-1] - effs[0] <= spread_target):
+            break
+    effs = sorted(d["efficiency"] for d in draws
+                  if d["efficiency"] is not None)
+    if not effs:
+        eff, scale_lo, scale_hi = None, draws[0]["lo"], draws[0]["hi"]
+    else:
+        n = len(effs)
+        eff = (effs[n // 2] if n % 2
+               else round((effs[n // 2 - 1] + effs[n // 2]) / 2, 3))
+        # report the draw closest to the median as the representative pair
+        rep = min((d for d in draws if d["efficiency"] is not None),
+                  key=lambda d: abs(d["efficiency"] - eff))
+        scale_lo, scale_hi = rep["lo"], rep["hi"]
+    scaling_extra = {
+        "draw_efficiencies": effs,
+        "spread": round(effs[-1] - effs[0], 3) if effs else None,
+        "protocol": (f"median of {len(draws)} pinned lo/hi draws, "
+                     f"best-of-{os.environ.get('SPARK_GRAFT_SCALE_REPEATS', '2')}"
+                     f" within level, spread target {spread_target}"),
+    }
 
     # -- headline measurements on the hi session --
     spark = build_spark(cpus)
@@ -224,7 +259,7 @@ def run(sf_dir: str, cpus: int) -> dict:
         "kg_docs_per_sec": round(n_docs / kg_sec, 1) if kg_sec > 0 else None,
         "scaling": {"lo": scale_lo, "hi": scale_hi,
                     "efficiency": eff,
-                    "target": 0.8},
+                    "target": 0.8, **scaling_extra},
         "vocab_scale": vocab_scale,
     }
     spark.stop()

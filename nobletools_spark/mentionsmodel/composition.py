@@ -222,9 +222,15 @@ def compose(annotated: DataFrame, schema: DomainSchema,
     instance_id = F.concat_ws(
         "#", F.col("doc_id"), F.col("var_name"),
         F.col("start").cast("string"), F.col("end").cast("string"))
-    instances = good.select(
+    # deterministic per-span pick: when two anchor CUIs share one span
+    # (co-synonymous concepts), the smallest CUI wins — dropDuplicates
+    # would keep a partition-order-dependent row instead
+    w_inst = Window.partitionBy("instance_id").orderBy("cui")
+    instances = (good.select(
         instance_id.alias("instance_id"), "doc_id", "var_name", "cui",
-        "start", "end", "modifiers").dropDuplicates(["instance_id"])
+        "start", "end", "modifiers")
+        .withColumn("_rn", F.row_number().over(w_inst))
+        .where(F.col("_rn") == 1).drop("_rn"))
 
     # materialize satisfied relation links: slot -> target instance_id
     # (deterministically the min instance id of the target type in the

@@ -170,24 +170,45 @@ def documents_html(documents: DataFrame, mentions: DataFrame) -> DataFrame:
 def write_html_reports(documents: DataFrame, mentions: DataFrame,
                        path: str) -> None:
     """B2 sink: one HTML page per document under ``path`` (file name =
-    doc_id, written from the executors), plus an index.html listing —
-    the reference's reports/ + index layout (HTMLExporter:32,703)."""
+    doc_id, written from the executors), plus an index listing — the
+    reference's reports/ + index layout (HTMLExporter:32,703). The index
+    is SHARDED: each partition writes its own index part from the
+    executor, and the root index.html links the parts — no doc_id list
+    ever travels to the driver, so the sink scales with the corpus (the
+    root is bounded by partition count, not document count)."""
     import os
 
     pages = documents_html(documents, mentions)
     os.makedirs(os.path.join(path, "reports"), exist_ok=True)
+    parts_dir = os.path.join(path, "index_parts")
+    os.makedirs(parts_dir, exist_ok=True)
 
     def write_part(rows):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        ids = []
         for r in rows:
             with open(os.path.join(path, "reports", f"{r.doc_id}.html"),
                       "w") as f:
                 f.write(r.html)
+            ids.append(str(r.doc_id))
+        if ids:
+            links = "".join(
+                f'<a href="../reports/{i}.html" target="frame">{i}</a>'
+                "<br>\n" for i in sorted(ids))
+            with open(os.path.join(parts_dir,
+                                   f"part-{pid:05d}.html"), "w") as f:
+                f.write(_HTML_HEAD.format(title=f"Reports part {pid}")
+                        + links + "</body></html>\n")
 
     pages.foreachPartition(write_part)
-    ids = [r.doc_id for r in pages.select("doc_id")
-           .orderBy("doc_id").collect()]
-    links = "".join(f'<a href="reports/{i}.html" target="frame">{i}</a>'
-                    "<br>\n" for i in ids)
+    # root index: one link per PART file (directory listing, bounded by
+    # the partition count) — nothing per-document on the driver
+    part_files = sorted(p for p in os.listdir(parts_dir)
+                        if p.endswith(".html"))
+    links = "".join(
+        f'<a href="index_parts/{p}" target="frame">{p[:-5]}</a><br>\n'
+        for p in part_files)
     with open(os.path.join(path, "index.html"), "w") as f:
         f.write(_HTML_HEAD.format(title="Coded reports") + links
                 + "</body></html>\n")

@@ -16,6 +16,7 @@ the reference treats eHOST mention classes as concept identifiers.
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +79,139 @@ def ehost_to_gold(spark: SparkSession, xml_docs: DataFrame) -> DataFrame:
             rows: list[dict] = []
             for doc_id, xml in zip(pdf["doc_id"], pdf["xml"]):
                 rows.extend(parse_ehost_xml(xml, doc_id=str(doc_id)))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return xml_docs.mapInPandas(gen, schema=GOLD_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# DeepPhe / Anafora converter (eval/gold/DeepPheToInstances.java)
+
+# entity type -> mention-annotation class (getSchemaMap :569-582)
+DEEPPHE_SCHEMA_MAP = {
+    "Disease_Disorder": "associated_neoplasm_mention",
+    "Finding_TNM": "tnm_mention",
+    "LabResult_Receptor": "receptors_mention",
+    "Medications/Drugs": "medications_mention",
+    "Metastasis": "metastasis_mention",
+    "Neoplasm_Stage": "stage_mention",
+    "size_class": "size_mention",
+    "Procedure": "procedure_mention",
+}
+
+_DOCTIMEREL = {"BEFORE": "Before_DocTimeRel",
+               "OVERLAP": "Overlap_DocTimeRel",
+               "BEFORE/OVERLAP": "Before-Overlap_DocTimeRel",
+               "AFTER": "After_DocTimeRel"}
+
+_SUBJECT = {"patient": "Patient_Experiencer",
+            "family_member": "FamilyMember_Experiencer",
+            "donor_family_member": "DonorFamilyMember_Experiencer",
+            "donor_other": "DonorOtherMember_Experiencer",
+            "other": "OtherMember_Experiencer"}
+
+
+def _crlf_offset(text: str, offset: int) -> int:
+    """TextTools.convertCRLF_Offset:1100-1103 — subtract CR count."""
+    return offset - text[:offset].count("\r")
+
+
+def parse_anafora_xml(xml_text: str, doc_text: str,
+                      doc_id: str) -> list[dict]:
+    """One Anafora (DeepPhe gold) XML document -> gold rows, mirroring
+    DeepPheToInstances: entity elements carry (id, span 'start,end',
+    type, multi-valued properties); the useful-annotation selection
+    drops Disease_Disorder/size_class except via the
+    associated_neoplasm / sizes links (:311-330); linguistic attributes
+    derive from negation/uncertainty indicators, DocTimeRel, and the
+    subject link's subject_normalization (:585-655). The reference's
+    Procedure refinement via ontology restrictions is out of scope here
+    (no OWL-API); Procedure maps to its schema class directly."""
+    root = ET.fromstring(xml_text)
+    entities: dict[str, dict] = {}
+    for el in root.iter("entity"):
+        props: dict[str, list[str]] = {}
+        for p in el.findall("properties"):
+            for child in p:
+                props.setdefault(child.tag, []).append(child.text or "")
+        ent = {"id": el.findtext("id") or "",
+               "span": (el.findtext("span") or "").strip(),
+               "type": el.findtext("type") or "",
+               "props": props}
+        entities[ent["id"]] = ent
+
+    def prop(e: dict, name: str) -> str | None:
+        vals = e["props"].get(name)
+        return vals[0] if vals else None
+
+    # getUsefulAnnotations:311-330
+    useful: dict[str, dict] = {}
+    for e in entities.values():
+        if e["type"] not in ("Disease_Disorder", "size_class"):
+            useful[e["id"]] = e
+            assoc = prop(e, "associated_neoplasm")
+            if assoc and assoc in entities:
+                useful[assoc] = entities[assoc]
+        elif e["props"].get("sizes"):
+            for sid in e["props"]["sizes"]:
+                se = entities.get(sid)
+                if se is not None:
+                    se["props"].setdefault("associated_neoplasm",
+                                           []).append(e["id"])
+                    useful[se["id"]] = se
+
+    out: list[dict] = []
+    for e in useful.values():
+        cls = DEEPPHE_SCHEMA_MAP.get(e["type"])
+        if cls is None or not e["span"]:
+            continue
+        parts = [p for p in re.split(r"[,:;]", e["span"]) if p]
+        if len(parts) < 2:
+            continue
+        start, end = int(parts[0]), int(parts[1])
+        if end >= len(doc_text) + 1:
+            continue  # parseAnnotations keeps spans inside the text
+        text = doc_text[start:end]
+        start, end = (_crlf_offset(doc_text, start),
+                      _crlf_offset(doc_text, end))
+
+        neg = bool(prop(e, "negation_indicator"))
+        unc = bool(prop(e, "uncertainty_indicator"))
+        certainty = ("ProbableNegatedExistence_Certainty"
+                     if neg and unc else
+                     "DefiniteNegatedExistence_Certainty" if neg else
+                     "ProbableExistence_Certainty" if unc else
+                     "DefiniteExistence_Certainty")
+        temporality = _DOCTIMEREL.get(prop(e, "DocTimeRel") or "",
+                                      "Overlap_DocTimeRel")
+        experiencer = "Patient_Experiencer"
+        subj = prop(e, "subject")
+        if subj and subj in entities:
+            norm = prop(entities[subj], "subject_normalization")
+            experiencer = _SUBJECT.get(norm or "", "Patient_Experiencer")
+
+        out.append({"doc_id": doc_id, "cui": cls, "start": start,
+                    "end": end, "text": text,
+                    "attrs": {"hasCertainty": certainty,
+                              "hasTemporality": temporality,
+                              "hasExperiencer": experiencer}})
+    return out
+
+
+def anafora_to_gold(spark: SparkSession, xml_docs: DataFrame) -> DataFrame:
+    """Distributed DeepPhe conversion: (doc_id, xml, text) rows -> the
+    gold annotation DataFrame (evaluation.KEYS shape), feeding the I5
+    evaluator exactly like ehost_to_gold. Narrow mapInPandas."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, xml, text in zip(pdf["doc_id"], pdf["xml"],
+                                         pdf["text"]):
+                rows.extend(parse_anafora_xml(xml, text or "",
+                                              doc_id=str(doc_id)))
             if rows:
                 yield pd.DataFrame(rows)
 

@@ -378,6 +378,69 @@ FROM men
 """
 
 
+def kg_instances_sql() -> str:
+    """I-group instances over annotated mentions: the schema anchors every
+    concept and requires Polarity, which the document-level defaults
+    always satisfy — so instances are the per-(doc, span) mentions with
+    the deterministic smallest-CUI pick and a composed instance id."""
+    base = _base_ctes()
+    return base + """
+SELECT doc_id || '#DataOpMention#' || start || '#' || "end"
+         AS instance_id,
+       doc_id, 'DataOpMention' AS var_name, min(cui) AS cui,
+       CAST(start AS INT) AS start, CAST("end" AS INT) AS "end"
+FROM men GROUP BY doc_id, start, "end"
+ORDER BY instance_id
+"""
+
+
+def kg_canonical_triples_sql() -> str:
+    """P5+P6: mentions rewritten through connected components over
+    co-synonymous CUIs before triple materialization. The synonym edges
+    (terms shared by >1 CUI) are dictionary DATA inlined as VALUES; the
+    component labels are recomputed by a recursive min-label CTE, and the
+    mention/isa rewrite runs over the SQL-derived mention set."""
+    d = _dico()
+    edges = set()
+    for term, cuis in d.term_map.items():
+        if len(cuis) > 1:
+            hub = min(cuis)
+            for c in cuis:
+                if c != hub:
+                    edges.add((hub, c))
+    rows = ", ".join(f"('{a}', '{b}')" for a, b in sorted(edges))
+    isa = ", ".join(f"('{c}', 'isa', '{p}', '')"
+                    for c, p in sorted(d.isa_edges))
+    base = _base_ctes()
+    return base + f""",
+e AS (SELECT * FROM (VALUES {rows}) t(src, dst)
+      UNION SELECT dst, src FROM (VALUES {rows}) t(src, dst)),
+cc AS (  -- min-label propagation to fixpoint (depth-bounded recursion;
+         -- synonym components are stars, diameter <= 4)
+  WITH RECURSIVE walk(cui, label, depth) AS (
+    SELECT src, src, 0 FROM e
+    UNION ALL
+    SELECT w.cui, e2.dst, w.depth + 1
+    FROM walk w JOIN e e2 ON w.label = e2.src
+    WHERE w.depth < 6)
+  SELECT cui, min(label) AS canonical_cui FROM walk GROUP BY cui),
+cmen AS (
+  SELECT m.doc_id, coalesce(c.canonical_cui, m.cui) AS cui
+  FROM men m LEFT JOIN cc c ON c.cui = m.cui),
+cisa AS (
+  SELECT coalesce(cs.canonical_cui, i.subj) AS subj, 'isa' AS pred,
+         coalesce(co.canonical_cui, i.obj) AS obj, '' AS doc_id
+  FROM (VALUES {isa}) i(subj, pred, obj, doc_id)
+  LEFT JOIN cc cs ON cs.cui = i.subj
+  LEFT JOIN cc co ON co.cui = i.obj)
+SELECT DISTINCT doc_id AS subj, 'mentions_concept' AS pred, cui AS obj,
+       doc_id
+FROM cmen
+UNION ALL
+SELECT DISTINCT subj, pred, obj, doc_id FROM cisa WHERE subj <> obj
+"""
+
+
 def default_modifiers_json() -> str:
     """The constant map annotate_documents emits when no modifier matches:
     Spark to_json of a map<string,string> — keys in map insertion order

@@ -324,3 +324,178 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
         F.lit("text").alias("kind"), F.col("text").alias("text"),
         F.lit("").alias("media_ref"), F.lit(0).cast("int").alias("offset")))
     return raw.select("doc_id", span.alias("spans"))
+
+
+# ----------------------------------------------- OWL: ConText lexicon ----
+# The reference bootstraps its modifier terminology from Modifier.owl
+# (ConText.java:139-153 via OOntology + ConTextHelper.createConcept:80-152):
+# named superclasses become BROADER relations, semantic types come from
+# schema-ontology ancestors (isSemanticType:40-50), anonymous restriction
+# bodies carry the control properties (hasActionEn/windowSize datatype
+# hasValue; hasTermination/hasPseudo/has<Type> someValuesFrom classes), and
+# the document owl:imports the schema ontology. These two functions
+# serialize/parse exactly that shape with an INJECTED import resolver (no
+# network), so a restriction-bearing Modifier.owl round-trips onto the
+# in-repo lexicon with zero concept/relation diffs (tests/test_owl_context).
+
+_CTX_NS = "http://example.org/nobletools/Modifier.owl"
+_SCHEMA_NS = "http://example.org/nobletools/Schema.owl"
+
+
+def context_to_owl(concepts: list[dict],
+                   isa_edges: list[tuple[str, str]]) -> tuple[str, str]:
+    """Serialize lexicon-shaped modifier concepts to (modifier_xml,
+    schema_xml) in the reference Modifier.owl layout: the main document
+    owl:imports the schema; semantic types are schema-namespace
+    superclasses; control properties are anonymous restrictions."""
+    from ..context.lexicon import MODIFIER_TYPES
+
+    def esc(s: str) -> str:
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace('"', "&quot;"))
+
+    edges_by_child: dict[str, list[str]] = {}
+    for c, p in isa_edges:
+        edges_by_child.setdefault(c, []).append(p)
+
+    semtype_names = sorted({st for c in concepts
+                            for st in c.get("sem_types", ())})
+    schema = ['<?xml version="1.0"?>',
+              '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+              '         xmlns:owl="http://www.w3.org/2002/07/owl#"',
+              '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">',
+              f'  <owl:Ontology rdf:about="{_SCHEMA_NS}"/>']
+    for st in semtype_names:
+        schema.append(f'  <owl:Class rdf:about="{_SCHEMA_NS}#{st}"/>')
+    schema.append('</rdf:RDF>')
+
+    out = ['<?xml version="1.0"?>',
+           '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+           '         xmlns:owl="http://www.w3.org/2002/07/owl#"',
+           '         xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#"',
+           '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">',
+           f'  <owl:Ontology rdf:about="{_CTX_NS}">',
+           f'    <owl:imports rdf:resource="{_SCHEMA_NS}"/>',
+           '  </owl:Ontology>']
+    for c in concepts:
+        cui = c["cui"]
+        out.append(f'  <owl:Class rdf:about="{_CTX_NS}#{cui}">')
+        out.append(f'    <rdfs:label>{esc(c["name"])}</rdfs:label>')
+        for syn in c.get("synonyms", ()):
+            out.append('    <oboInOwl:hasExactSynonym>'
+                       f'{esc(syn)}</oboInOwl:hasExactSynonym>')
+        # semantic types: schema-namespace named superclasses, except the
+        # per-type value semtype which rides on the value restriction
+        props = dict(c.get("props", {}))
+        value_types = [t for t in c.get("sem_types", ())
+                       if t in MODIFIER_TYPES and t in props]
+        for st in c.get("sem_types", ()):
+            if st in value_types:
+                continue
+            out.append('    <rdfs:subClassOf '
+                       f'rdf:resource="{_SCHEMA_NS}#{st}"/>')
+        for parent in edges_by_child.get(cui, ()):
+            out.append('    <rdfs:subClassOf '
+                       f'rdf:resource="{_CTX_NS}#{parent}"/>')
+        for k, v in (c.get("props") or {}).items():
+            if k in MODIFIER_TYPES or k in ("hasTermination", "hasPseudo"):
+                prop = f"has{k}" if k in MODIFIER_TYPES else k
+                out.append(
+                    '    <rdfs:subClassOf><owl:Restriction>'
+                    f'<owl:onProperty rdf:resource="{_CTX_NS}#{prop}"/>'
+                    f'<owl:someValuesFrom rdf:resource="{_CTX_NS}#{esc(v)}"/>'
+                    '</owl:Restriction></rdfs:subClassOf>')
+            else:
+                out.append(
+                    '    <rdfs:subClassOf><owl:Restriction>'
+                    f'<owl:onProperty rdf:resource="{_CTX_NS}#{k}"/>'
+                    f'<owl:hasValue>{esc(v)}</owl:hasValue>'
+                    '</owl:Restriction></rdfs:subClassOf>')
+        out.append('  </owl:Class>')
+    out.append('</rdf:RDF>')
+    return "\n".join(out), "\n".join(schema)
+
+
+def load_owl_context(xml_text: str, imports: dict[str, str],
+                     source: str = "CONTEXT",
+                     ) -> tuple[list[dict], list[tuple[str, str]]]:
+    """Parse a Modifier.owl-shaped document (with owl:imports resolved
+    through the injected ``imports`` map) back into lexicon-shaped
+    concepts + isa edges. Robustness features beyond ``load_owl``:
+    owl:imports resolution, anonymous restriction bodies (datatype
+    hasValue -> property; someValuesFrom class -> hasTermination/
+    hasPseudo property or per-type modifier value + semantic type), and
+    references to undeclared superclasses (kept as isa edges, exactly
+    how the lexicon's LinguisticModifierRoot container behaves)."""
+    import xml.etree.ElementTree as ET
+    from ..context.lexicon import MODIFIER_TYPES
+
+    root = ET.fromstring(xml_text)
+
+    # resolve the import closure: declared class names per imported doc
+    # form the semantic-type universe (isSemanticType's namespace test)
+    semtypes: set[str] = set()
+    seen_uris: set[str] = set()
+    stack = [root]
+    while stack:
+        doc = stack.pop()
+        for ont in doc.iter(_OWL + "Ontology"):
+            for imp in ont.findall(_OWL + "imports"):
+                uri = imp.get(_RDF + "resource")
+                if uri and uri not in seen_uris:
+                    seen_uris.add(uri)
+                    if uri not in imports:
+                        raise ValueError(f"unresolved owl:imports {uri}")
+                    sub = ET.fromstring(imports[uri])
+                    stack.append(sub)
+                    for cls in sub.iter(_OWL + "Class"):
+                        about = cls.get(_RDF + "about")
+                        if about:
+                            semtypes.add(_frag(about))
+
+    concepts: list[dict] = []
+    edges: list[tuple[str, str]] = []
+    for cls in root.iter(_OWL + "Class"):
+        about = cls.get(_RDF + "about") or cls.get(_RDF + "ID")
+        if not about:
+            continue
+        cui = _frag(about)
+        name = cui
+        synonyms: list[str] = []
+        sem: list[str] = []
+        value_sem: list[str] = []
+        props: dict[str, str] = {}
+        for child in cls:
+            if child.tag == _RDFS + "label" and child.text:
+                name = child.text.strip()
+            elif child.tag == _OBO + "hasExactSynonym" and child.text:
+                synonyms.append(child.text.strip())
+            elif child.tag == _RDFS + "subClassOf":
+                res = child.get(_RDF + "resource")
+                if res:
+                    frag = _frag(res)
+                    if frag in semtypes:
+                        sem.append(frag)       # schema ancestor = semtype
+                    else:
+                        edges.append((cui, frag))  # may be undeclared
+                    continue
+                for r in child.iter(_OWL + "Restriction"):
+                    onp = r.find(_OWL + "onProperty")
+                    prop = _frag(onp.get(_RDF + "resource", "")) \
+                        if onp is not None else ""
+                    some = r.find(_OWL + "someValuesFrom")
+                    has = r.find(_OWL + "hasValue")
+                    if some is not None:
+                        target = _frag(some.get(_RDF + "resource", ""))
+                        if (prop.startswith("has")
+                                and prop[3:] in MODIFIER_TYPES):
+                            props[prop[3:]] = target
+                            value_sem.append(prop[3:])
+                        else:
+                            props[prop] = target
+                    elif has is not None and has.text is not None:
+                        props[prop] = has.text.strip()
+        concepts.append(dict(cui=cui, name=name, synonyms=synonyms,
+                             sem_types=[*sem, *value_sem],
+                             sources=[source], props=props))
+    return concepts, edges

@@ -88,8 +88,16 @@ def test_html_export_pages_and_index(spark, tmp_path):
     sample = open(os.path.join(path, "reports", sorted(pages)[0])).read()
     assert '<span class="m' in sample          # highlighted mentions
     assert "found items: <b>" in sample        # footer counter
+    # sharded index: executor-written part files carry the per-doc
+    # links; the root only links parts (nothing per-doc on the driver)
+    parts = sorted(os.listdir(os.path.join(path, "index_parts")))
+    assert parts and all(p.startswith("part-") for p in parts)
+    part_html = "".join(
+        open(os.path.join(path, "index_parts", p)).read() for p in parts)
+    assert part_html.count("../reports/") == 6
     index = open(os.path.join(path, "index.html")).read()
-    assert index.count("reports/") == 6
+    assert index.count("index_parts/") == len(parts)
+    assert "reports/" not in index.replace("index_parts/", "")
 
     # unit: span highlighting escapes HTML and marks negated mentions
     html = document_html(

@@ -1,10 +1,12 @@
 """I6 gold-converter tests: eHOST/Knowtator XML parse (reference element
-shapes), distributed conversion feeding the I5 evaluator, and the
-writer round-trip."""
+shapes), the DeepPhe/Anafora converter, distributed conversion feeding
+the I5 evaluator, and the writer round-trip."""
 
 from nobletools_spark.evaluation import evaluate
-from nobletools_spark.pipeline.gold import (ehost_to_gold, gold_to_ehost,
+from nobletools_spark.pipeline.gold import (anafora_to_gold, ehost_to_gold,
+                                            gold_to_ehost,
                                             mentions_to_ehost_xml,
+                                            parse_anafora_xml,
                                             parse_ehost_xml)
 
 EHOST_XML = """<annotations textSource="report7.txt">
@@ -95,3 +97,75 @@ class TestRoundTrip:
         assert rows == [{"doc_id": "dq", "cui": 'C<&"x', "start": 0,
                          "end": 3, "text": "abc",
                          "attrs": {'Pol"key': 'va"l&<ue'}}]
+
+
+ANAFORA_XML = """<data><annotations>
+  <entity>
+    <id>e1</id><span>0,9</span><type>Metastasis</type>
+    <properties>
+      <negation_indicator>e9</negation_indicator>
+      <DocTimeRel>BEFORE</DocTimeRel>
+      <subject>e5</subject>
+    </properties>
+  </entity>
+  <entity>
+    <id>e2</id><span>10,18</span><type>Neoplasm_Stage</type>
+    <properties><uncertainty_indicator>e9</uncertainty_indicator></properties>
+  </entity>
+  <entity>
+    <id>e3</id><span>19,25</span><type>Disease_Disorder</type>
+    <properties><sizes>e4</sizes></properties>
+  </entity>
+  <entity>
+    <id>e4</id><span>26,30</span><type>size_class</type>
+    <properties></properties>
+  </entity>
+  <entity>
+    <id>e5</id><span>0,1</span><type>subject_class</type>
+    <properties><subject_normalization>family_member</subject_normalization>
+    </properties>
+  </entity>
+</annotations></data>"""
+
+ANAFORA_TEXT = "metastase staged-x tumor1 size more text here"
+
+
+class TestAnafora:
+    def test_schema_and_linguistic_mapping(self):
+        rows = parse_anafora_xml(ANAFORA_XML, ANAFORA_TEXT, "d1")
+        by_cls = {r["cui"]: r for r in rows}
+        # Disease_Disorder excluded (only its linked size survives via the
+        # sizes back-link); subject_class has no schema class
+        assert set(by_cls) == {"metastasis_mention", "stage_mention",
+                               "size_mention"}
+        m = by_cls["metastasis_mention"]
+        assert (m["start"], m["end"], m["text"]) == (0, 9, "metastase")
+        assert m["attrs"]["hasCertainty"] == (
+            "DefiniteNegatedExistence_Certainty")
+        assert m["attrs"]["hasTemporality"] == "Before_DocTimeRel"
+        # experiencer resolves through the subject link's normalization
+        assert m["attrs"]["hasExperiencer"] == "FamilyMember_Experiencer"
+        s = by_cls["stage_mention"]
+        assert s["attrs"]["hasCertainty"] == "ProbableExistence_Certainty"
+        assert s["attrs"]["hasTemporality"] == "Overlap_DocTimeRel"
+        assert s["attrs"]["hasExperiencer"] == "Patient_Experiencer"
+        assert by_cls["size_mention"]["text"] == "size"
+
+    def test_crlf_offset_conversion(self):
+        text = "meta\r\nstase here"
+        xml = ("<data><annotations><entity><id>x</id><span>6,12</span>"
+               "<type>Metastasis</type><properties/></entity>"
+               "</annotations></data>")
+        rows = parse_anafora_xml(xml, text, "d")
+        # raw span 6..12 covers 'stase ' after CRLF; offsets shift by CRs
+        assert rows[0]["text"] == "stase "
+        assert (rows[0]["start"], rows[0]["end"]) == (5, 11)
+
+    def test_distributed_conversion_feeds_evaluator(self, spark):
+        xml_docs = spark.createDataFrame(
+            [("d1", ANAFORA_XML, ANAFORA_TEXT)],
+            "doc_id string, xml string, text string")
+        gold = anafora_to_gold(spark, xml_docs)
+        system = gold.select("doc_id", "cui", "start", "end")
+        prf = evaluate(system, gold)
+        assert (prf.fp, prf.fn) == (0, 0) and prf.f1 == 1.0
