@@ -291,3 +291,204 @@ def gold_to_ehost(mentions: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return grouped.mapInPandas(gen, schema="doc_id string, xml string")
+
+
+# ---------------------------------------------------------------------
+# i2b2 RiskFactors converter (eval/gold/RiskFactorsToInstances.java)
+
+_RF_TIME = {"after DCT": "After_DocTimeRel",
+            "before DCT": "Before_DocTimeRel",
+            "during DCT": "Overlap_DocTimeRel",
+            "before-overlap DCT": "Before-Overlap_DocTimeRel"}
+
+
+def _rf_label(tag: str, attrs: dict[str, str]) -> str | None:
+    """getClass:368-400 — class label from indicator/status/type1."""
+    indicator, status, type1 = (attrs.get("indicator"), attrs.get("status"),
+                                attrs.get("type1"))
+    if indicator is not None:
+        indicator = re.sub(r"[^A-Za-z0-9 ]+", "", indicator)
+        tag = tag.replace("_", " ")
+        mid = "" if indicator == "mention" else " " + indicator
+        return f"{tag}{mid} mention".lower()
+    if status is not None:
+        return f"{tag} {status} mention".lower()
+    if type1 is not None:
+        return f"{tag} {type1} mention".lower()
+    return None
+
+
+def parse_riskfactors_xml(xml_text: str, doc_id: str) -> list[dict]:
+    """One i2b2 risk-factors XML document -> gold rows, mirroring
+    RiskFactorsToInstances: the TAGS element's children are entities
+    whose ATTRIBUTES carry the properties; same-tag overlapping spans
+    deduplicate to the longest-text entry, merging differing times to
+    'before-overlap DCT' (:220-282); the annotation class derives from
+    tag + indicator/status/type1 (:368-400)."""
+    root = ET.fromstring(xml_text)
+    tags = root.find("TAGS")
+    if tags is None:
+        tags = root if root.tag == "TAGS" else None
+    if tags is None:
+        return []
+    ents: list[dict] = []
+    for el in tags:
+        e = {"tag": el.tag, **el.attrib}
+        if "start" in e and "end" in e:
+            e["_start"], e["_end"] = int(e["start"]), int(e["end"])
+            ents.append(e)
+
+    # overlap dedup per tag: keep longest trimmed text, merge times
+    removed: set[int] = set()
+    visited: set[int] = set()
+    for i, a in enumerate(ents):
+        if i in visited:
+            continue
+        dup = [i]
+        for j, b in enumerate(ents):
+            if j in visited or i == j:
+                continue
+            if (a["tag"] == b["tag"] and a["_start"] < b["_end"]
+                    and b["_start"] < a["_end"]):
+                dup.append(j)
+        if len(dup) > 1:
+            visited.update(dup)
+            times = {ents[k].get("time") for k in dup
+                     if ents[k].get("time")}
+            best = max(dup, key=lambda k: len(
+                (ents[k].get("text") or "").strip()))
+            if times:
+                ents[best]["time"] = (next(iter(times)) if len(times) == 1
+                                      else "before-overlap DCT")
+            removed.update(k for k in dup if k != best)
+
+    out: list[dict] = []
+    for i, e in enumerate(ents):
+        if i in removed:
+            continue
+        label = _rf_label(e["tag"], e)
+        if label is None:
+            continue
+        attrs = {}
+        t = _RF_TIME.get(e.get("time", ""))
+        if t:
+            attrs["hasTemporality"] = t
+        out.append({"doc_id": doc_id, "cui": label, "start": e["_start"],
+                    "end": e["_end"], "text": e.get("text", ""),
+                    "attrs": attrs})
+    return out
+
+
+def riskfactors_to_gold(spark: SparkSession,
+                        xml_docs: DataFrame) -> DataFrame:
+    """Distributed i2b2 risk-factors conversion: (doc_id, xml) rows ->
+    gold DataFrame. Narrow mapInPandas."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, xml in zip(pdf["doc_id"], pdf["xml"]):
+                rows.extend(parse_riskfactors_xml(xml, doc_id=str(doc_id)))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return xml_docs.mapInPandas(gen, schema=GOLD_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# NLM risk-factors BRAT converter (eval/gold/NLMRiskFactorsToInstances)
+
+NLM_SCHEMA_MAP = {
+    "A1C": "High_A1c_mention",
+    "BloodPressure": "High_blood_pressure_over_140_over_90_mm_per_hg",
+    "BMI": "BMI_over_18_mention",
+    "CADEvent": "CAD_event_mention",
+    "CADMention": "CAD_mention",
+    "CADSymptom": "CAD_symptom",
+    "CADTestResult": "CAD_test_mention",
+    "Cholesterol": "High_cholesterol_over_240_mention",
+    "DiabetesMention": "Diabetes_mention",
+    "Glucose": "High_glucose_mention",
+    "HyperlipidemiaMention": "Hyperlipidemia_mention",
+    "HypertensionMention": "Hypertension_mention",
+    "LDL": "High_LDL_measurement_over_100_mg_per_dL_mention",
+    "Medication1": "MedicationStatement",
+    "Medication2": "MedicationStatement",
+    "ObeseMention": "Obesity_mention",
+    "SmokerMention": "Smoker_ever_mention",
+}
+
+_NLM_TIME = {"Time_After": "After_DocTimeRel",
+             "Time_Before": "Before_DocTimeRel",
+             "Time_During": "Overlap_DocTimeRel",
+             "Time_Before-During": "Before-Overlap_DocTimeRel"}
+
+
+def parse_brat_riskfactors(ann_text: str, doc_id: str) -> list[dict]:
+    """One NLM risk-factors BRAT standoff document -> gold rows,
+    mirroring NLMRiskFactorsToInstances: T-lines carry
+    'Label start end<TAB>text' spans, A-lines attach 'Attr T#'
+    attributes; multiple Time_* attributes merge to Time_Before-During
+    (:194-204); Negation -> negated certainty; Invalid modality drops
+    the entity (:287-291); experiencer is always the patient."""
+    spans: dict[str, dict] = {}
+    attrs: list[tuple[str, str]] = []
+    for line in ann_text.splitlines():
+        parts = line.split("\t")
+        if len(parts) < 2:
+            continue
+        eid, label = parts[0], parts[1]
+        if len(parts) > 2:
+            m = re.fullmatch(r"(.+)\s+(\d+)\s+(\d+)", label)
+            if m and not eid.startswith("A"):
+                spans[eid] = {"label": m.group(1),
+                              "start": int(m.group(2)),
+                              "end": int(m.group(3)),
+                              "text": parts[2].strip(), "attrs": []}
+        else:
+            m = re.fullmatch(r"(.+)\s+(T\d+)", label)
+            if m and eid.startswith("A"):
+                attrs.append((m.group(2), m.group(1)))
+    for target, value in attrs:
+        if target in spans:
+            spans[target]["attrs"].append(value)
+
+    out: list[dict] = []
+    for e in spans.values():
+        cls = NLM_SCHEMA_MAP.get(e["label"])
+        if cls is None:
+            continue
+        vals = e["attrs"]
+        if "Invalid" in vals:
+            continue  # skip Invalid-modality entities (:287-291)
+        times = [v for v in vals if v.startswith("Time_")]
+        time = (times[0] if len(times) == 1
+                else "Time_Before-During" if times else None)
+        certainty = ("DefiniteNegatedExistence_Certainty"
+                     if "Negation" in vals
+                     else "DefiniteExistence_Certainty")
+        out.append({"doc_id": doc_id, "cui": cls, "start": e["start"],
+                    "end": e["end"], "text": e["text"],
+                    "attrs": {
+                        "hasTemporality": _NLM_TIME.get(
+                            time or "", "Overlap_DocTimeRel"),
+                        "hasCertainty": certainty,
+                        "hasExperiencer": "Patient_Experiencer"}})
+    return out
+
+
+def brat_to_gold(spark: SparkSession, ann_docs: DataFrame) -> DataFrame:
+    """Distributed NLM BRAT conversion: (doc_id, ann) rows -> gold
+    DataFrame. Narrow mapInPandas."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, ann in zip(pdf["doc_id"], pdf["ann"]):
+                rows.extend(parse_brat_riskfactors(ann, doc_id=str(doc_id)))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return ann_docs.mapInPandas(gen, schema=GOLD_SCHEMA)

@@ -704,11 +704,54 @@ def embedding_neardup_pairs(spark, sf):
     return impl(e, threshold=0.4).orderBy("a", "b")
 
 
-@_q("embedding_ann_lsh_pairs", None)  # probabilistic recall: rows-only
+@_q("embedding_ann_lsh_pairs", """
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+u AS (SELECT id, list_transform(ev, x -> x / sqrt(
+        list_reduce(list_transform(ev, y -> y * y), (a, b) -> a + b))) AS v
+      FROM e),
+pl AS (  -- md5-derived hyperplane components, re-derived independently
+  SELECT p.p, d.d,
+         CAST(list_reduce(list_transform(
+           string_split(substr(md5(p.p || ':' || d.d), 1, 15), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, x) -> a * 16 + x) AS DOUBLE)
+           / 1152921504606846976.0 - 0.5 AS c
+  FROM range(0, 16) p(p), range(1, 65) d(d)),
+plv AS (SELECT p, list(c ORDER BY d) AS pv FROM pl GROUP BY p),
+proj AS (
+  SELECT u.id, plv.p,
+         list_reduce(list_transform(range(1, 65),
+           i -> u.v[CAST(i AS INT)] * plv.pv[CAST(i AS INT)]),
+           (a, x) -> a + x) AS pr
+  FROM u, plv),
+keys AS (
+  SELECT id, CAST(p // 2 AS INT) AS band,
+         string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY p) AS key
+  FROM proj GROUP BY id, p // 2),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM keys x JOIN keys y
+    ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+cc AS (
+  SELECT c.a, c.b,
+         round(list_reduce(list_transform(range(1, 65),
+           i -> ua.v[CAST(i AS INT)] * ub.v[CAST(i AS INT)]),
+           (a, x) -> a + x), 4) AS cosine
+  FROM cand c
+  JOIN u ua ON ua.id = c.a
+  JOIN u ub ON ub.id = c.b)
+SELECT a, b, cosine FROM cc WHERE cosine >= 0.4 ORDER BY a, b
+""")
 def embedding_ann_lsh_pairs(spark, sf):
+    # fully oracle-checked: the hyperplanes are md5-derived literals
+    # (dedup._md5_planes), so DuckDB independently re-derives the plane
+    # matrix, signatures, band buckets, candidate set, AND the exact
+    # cosine verify — the complete LSH pipeline, not just its output
     from ..textdata.dedup import embedding_lsh_neardup_pairs as impl
     e = load(spark, sf, "embeddings")
-    return impl(e, threshold=0.4).orderBy("a", "b")
+    return impl(e, threshold=0.4, dim=64).orderBy("a", "b")
 
 
 @_q("embedding_ann_lsh_recall", """
@@ -733,7 +776,8 @@ def embedding_ann_lsh_recall(spark, sf):
     e = load(spark, sf, "embeddings")
     brute = (embedding_neardup_pairs(e, threshold=0.4)
              .select("a", "b", F.lit(1).alias("t")))
-    lsh = (embedding_lsh_neardup_pairs(e, threshold=0.4, planes=16, bands=8)
+    lsh = (embedding_lsh_neardup_pairs(e, threshold=0.4, planes=16,
+                                       bands=8, dim=64)
            .select("a", "b", F.lit(1).alias("l")))
     # one full-outer join -> one aggregation pass over both pair sets
     j = brute.join(lsh, ["a", "b"], "full_outer")

@@ -455,21 +455,48 @@ def _plane_projection(vec_col, plane: int):
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _md5_planes(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic hyperplane matrix derived from md5 so an external
+    SQL engine can re-derive every component independently: component d
+    (1-based) of plane p is int(md5(f"{p}:{d}")[:15], 16) / 2^60 - 0.5.
+    The /2^60 and -0.5 steps are exact in float64, so Python, the JVM,
+    and DuckDB all hold the identical double."""
+    import hashlib
+    return [[int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+             / float(2 ** 60) - 0.5 for d in range(1, dim + 1)]
+            for p in range(planes)]
+
+
 def embedding_lsh_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 threshold: float = 0.45,
                                 planes: int = 16,
-                                bands: int = 8) -> DataFrame:
+                                bands: int = 8,
+                                dim: int | None = None) -> DataFrame:
     """Scale path: random-hyperplane LSH — bucket vectors by the sign
     pattern of ``planes`` projections split into ``bands`` bands, self-join
     per (band, key) bucket, verify exact cosine. Same output contract as
-    the brute-force pairs; recall < 1 by construction (probabilistic)."""
+    the brute-force pairs; recall < 1 by construction (probabilistic).
+
+    With ``dim`` (the embedding dimension, static schema knowledge) the
+    hyperplanes become md5-derived LITERAL arrays: faster (no per-row
+    hashing — the plane matrix is a plan constant riding the closure like
+    a broadcast) and externally checkable (the DuckDB oracle re-derives
+    the same planes from md5 and recomputes buckets + cosines exactly).
+    Without ``dim`` the xxhash64 per-row derivation handles unknown
+    dimensions."""
     u = df.select(F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("v"))
 
-    bits = [
-        F.when(_plane_projection(F.col("v"), p) > 0, 1).otherwise(0)
-        for p in range(planes)
-    ]
+    plane_mat = _md5_planes(planes, dim) if dim is not None else None
+
+    def proj(p: int):
+        if plane_mat is None:
+            return _plane_projection(F.col("v"), p)
+        lit = F.array(*[F.lit(c) for c in plane_mat[p]])
+        return F.aggregate(F.zip_with(F.col("v"), lit, lambda x, c: x * c),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = [F.when(proj(p) > 0, 1).otherwise(0) for p in range(planes)]
     per_band = planes // bands
     band_cols = [
         F.struct(F.lit(b).alias("band"),

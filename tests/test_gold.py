@@ -169,3 +169,67 @@ class TestAnafora:
         system = gold.select("doc_id", "cui", "start", "end")
         prf = evaluate(system, gold)
         assert (prf.fp, prf.fn) == (0, 0) and prf.f1 == 1.0
+
+
+RISKFACTORS_XML = """<root><TEXT>t</TEXT><TAGS>
+<HYPERTENSION id="H0" start="10" end="18" text="high bp"
+  time="during DCT" indicator="high bp"/>
+<HYPERTENSION id="H1" start="12" end="30" text="high blood press."
+  time="after DCT" indicator="high bp"/>
+<SMOKER id="S0" start="40" end="46" text="smoker" status="current"/>
+<MEDICATION id="M0" start="50" end="57" text="aspirin"
+  time="before DCT" type1="aspirin"/>
+<CAD id="C0" start="60" end="63" text="cad" time="during DCT"
+  indicator="mention"/>
+</TAGS></root>"""
+
+NLM_BRAT = ("T1\tHypertensionMention 10 18\thigh bp\n"
+            "A1\tTime_After T1\nA2\tTime_Before T1\n"
+            "T2\tSmokerMention 40 46\tsmoker\nA3\tNegation T2\n"
+            "T3\tCADMention 60 63\tcad\nA4\tInvalid T3\n"
+            "T4\tUnknownLabel 70 75\tzzz\n")
+
+
+class TestRiskFactors:
+    def test_i2b2_overlap_dedup_and_labels(self):
+        from nobletools_spark.pipeline.gold import parse_riskfactors_xml
+        rows = parse_riskfactors_xml(RISKFACTORS_XML, "d1")
+        by_cls = {r["cui"]: r for r in rows}
+        # overlapping same-tag entities merge: longest text wins, the
+        # differing times merge to before-overlap (:250-282)
+        h = by_cls["hypertension high bp mention"]
+        assert (h["start"], h["end"], h["text"]) == (12, 30,
+                                                     "high blood press.")
+        assert h["attrs"]["hasTemporality"] == "Before-Overlap_DocTimeRel"
+        # label rules: status-, type1-, and 'mention'-indicator variants
+        assert "smoker current mention" in by_cls
+        assert by_cls["medication aspirin mention"]["attrs"][
+            "hasTemporality"] == "Before_DocTimeRel"
+        assert "cad mention" in by_cls  # 'mention' indicator drops itself
+
+    def test_nlm_brat_attributes(self):
+        from nobletools_spark.pipeline.gold import parse_brat_riskfactors
+        rows = parse_brat_riskfactors(NLM_BRAT, "d2")
+        by_cls = {r["cui"]: r for r in rows}
+        # Invalid-modality entity dropped; unknown label skipped
+        assert set(by_cls) == {"Hypertension_mention", "Smoker_ever_mention"}
+        hyp = by_cls["Hypertension_mention"]
+        # two Time_* attributes merge to Before-During (:194-204)
+        assert hyp["attrs"]["hasTemporality"] == "Before-Overlap_DocTimeRel"
+        assert hyp["attrs"]["hasCertainty"] == "DefiniteExistence_Certainty"
+        smk = by_cls["Smoker_ever_mention"]
+        assert smk["attrs"]["hasCertainty"] == (
+            "DefiniteNegatedExistence_Certainty")
+        assert smk["attrs"]["hasExperiencer"] == "Patient_Experiencer"
+
+    def test_distributed_conversion_feeds_evaluator(self, spark):
+        from nobletools_spark.pipeline.gold import (brat_to_gold,
+                                                    riskfactors_to_gold)
+        rf = riskfactors_to_gold(spark, spark.createDataFrame(
+            [("d1", RISKFACTORS_XML)], "doc_id string, xml string"))
+        nlm = brat_to_gold(spark, spark.createDataFrame(
+            [("d2", NLM_BRAT)], "doc_id string, ann string"))
+        gold = rf.unionByName(nlm)
+        system = gold.select("doc_id", "cui", "start", "end")
+        prf = evaluate(system, gold)
+        assert (prf.fp, prf.fn) == (0, 0) and prf.f1 == 1.0

@@ -55,11 +55,13 @@ def test_kg_oracle_matches_spark(spark, con, entry, name):
 
 
 def test_window_composition(entry):
-    """Every oracle-backed query must land in the driver's 50-entry
-    window (the first 50 queries()); only rows-only queries may trail,
-    plus the three explicitly demoted pytest-pinned trivial ones."""
+    """All 56 queries are oracle-backed; the driver checks the first 50,
+    so the tail must consist only of the explicitly demoted trivial
+    relational queries (still green under scripts/oracle_check.py)."""
     names = list(entry.queries())
     oracle = set(entry.oracle_sql())
+    assert len(oracle) == len(names)  # every query has an oracle
     assert all(n in oracle for n in names[:50])
-    tail_unchecked = [n for n in names[50:] if n not in oracle]
-    assert set(tail_unchecked) <= {"embedding_ann_lsh_pairs"}
+    assert set(names[50:]) == {
+        "values_inline_union", "case_math_functions", "distinct_counts",
+        "string_functions", "date_functions", "set_ops_customer_tiers"}
