@@ -15,6 +15,15 @@ doc_ids, so compute dominates fixed overhead) at SPARK_GRAFT_SCALE_LO
 in-session warmup that spawns every Python worker, and reports docs/sec
 at both plus efficiency = (thr_hi / thr_lo) / (cpus_hi / cpus_lo).
 
+The scaled input is partitioned to a FIXED split count at both levels
+(SPARK_GRAFT_SCALE_PARTS, default 4*hi), exactly like a real cluster
+scale-up: the parquet splits don't change when executors are added.
+(r1/r2 partitioned to cpus*4 PER LEVEL, so lo ran 8 fat tasks while hi
+ran 32 slim ones — per-task overhead then biased the ratio both ways:
+0.74 recorded in r2 at factor 8, a nonsensical 1.14 at factor 16. With
+identical tasks at both levels the ratio isolates parallelism, the only
+thing the north rule is about.)
+
 Why 2->8 and not 8->32: local mode runs ONE JVM that relays every Arrow
 batch between all N python workers; past ~8 workers that single relay
 saturates (~4.7k docs/s ceiling on this box) — an artifact a real cluster
@@ -69,10 +78,12 @@ def _kg_run(spark, sf_dir: str, entry_mod):
 
 
 def kg_throughput(sf_dir: str, cpus: int, entry_mod,
-                  replicate: int = 1) -> dict:
+                  replicate: int = 1, partitions: int | None = None) -> dict:
     """docs/sec of the KG pipeline at a given core count (fresh session,
     in-session warmup run before the timed run). ``replicate`` unions the
-    corpus against itself with remapped doc_ids so compute dominates."""
+    corpus against itself with remapped doc_ids so compute dominates.
+    ``partitions`` fixes the input split count; scaling probes pass the
+    SAME value at every core count so both levels run identical tasks."""
     from pyspark.sql import functions as F
     from nobletools_spark.pipeline.documents import interleave_flat_documents
     from nobletools_spark.pipeline.stages import run_pipeline
@@ -86,7 +97,8 @@ def kg_throughput(sf_dir: str, cpus: int, entry_mod,
         for i in range(1, replicate):
             big = big.unionByName(
                 flat.withColumn("doc_id", F.col("doc_id") + i * 1_000_000))
-        docs = interleave_flat_documents(big.repartition(cpus * 4))
+        docs = interleave_flat_documents(
+            big.repartition(partitions or cpus * 4))
 
         # warmup: run the full stage graph on a slice spread wide enough
         # that every Python worker spawns and imports (pandas/numpy)
@@ -97,7 +109,7 @@ def kg_throughput(sf_dir: str, cpus: int, entry_mod,
         run_pipeline(spark, warm, entry_mod._dico(), "best-match")["triples"].count()
 
         n_docs = base_docs * replicate
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
         best = None
         n_triples = 0
         for _ in range(max(repeats, 1)):
@@ -132,10 +144,13 @@ def run(sf_dir: str, cpus: int) -> dict:
     min_draws = int(os.environ.get("SPARK_GRAFT_SCALE_DRAWS_MIN", "3"))
     max_draws = int(os.environ.get("SPARK_GRAFT_SCALE_DRAWS_MAX", "5"))
     spread_target = float(os.environ.get("SPARK_GRAFT_SCALE_SPREAD", "0.05"))
+    # identical input splits at both levels (see module docstring)
+    scale_parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS",
+                                     str(hi_cpus * 4)))
     draws: list[dict] = []
     while len(draws) < max_draws:
-        lo = _scale_probe(sf_dir, lo_cpus, factor, entry_mod)
-        hi = _scale_probe(sf_dir, hi_cpus, factor, entry_mod)
+        lo = _scale_probe(sf_dir, lo_cpus, factor, entry_mod, scale_parts)
+        hi = _scale_probe(sf_dir, hi_cpus, factor, entry_mod, scale_parts)
         d_eff = None
         if lo["docs_per_sec"] and hi["docs_per_sec"]:
             d_eff = round((hi["docs_per_sec"] / lo["docs_per_sec"])
@@ -161,9 +176,11 @@ def run(sf_dir: str, cpus: int) -> dict:
     scaling_extra = {
         "draw_efficiencies": effs,
         "spread": round(effs[-1] - effs[0], 3) if effs else None,
+        "input_partitions": scale_parts,
         "protocol": (f"median of {len(draws)} pinned lo/hi draws, "
                      f"best-of-{os.environ.get('SPARK_GRAFT_SCALE_REPEATS', '2')}"
-                     f" within level, spread target {spread_target}"),
+                     f" within level, spread target {spread_target}, "
+                     f"fixed {scale_parts} input splits at both levels"),
     }
 
     # -- headline measurements on the hi session --
@@ -266,7 +283,8 @@ def run(sf_dir: str, cpus: int) -> dict:
     return payload
 
 
-def _scale_probe(sf_dir: str, cpus: int, factor: int, entry_mod) -> dict:
+def _scale_probe(sf_dir: str, cpus: int, factor: int, entry_mod,
+                 partitions: int | None = None) -> dict:
     """Run one scaling level in a CPU-pinned subprocess (taskset) so the
     measured 'executor' owns exactly ``cpus`` cores; falls back to
     in-process when taskset is unavailable."""
@@ -280,7 +298,7 @@ def _scale_probe(sf_dir: str, cpus: int, factor: int, entry_mod) -> dict:
         lo = 2 if total >= cpus + 2 else 0
         cmd = ["taskset", "-c", f"{lo}-{lo + cpus - 1}", sys.executable,
                os.path.abspath(__file__), "--scale-probe", str(cpus),
-               str(factor)]
+               str(factor), str(partitions or 0)]
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         res = subprocess.run(cmd, capture_output=True, text=True, env=env,
                              timeout=1800)
@@ -288,7 +306,8 @@ def _scale_probe(sf_dir: str, cpus: int, factor: int, entry_mod) -> dict:
             if line.startswith("{"):
                 return json.loads(line)
         raise RuntimeError(f"scale probe failed: {res.stderr[-500:]}")
-    return kg_throughput(sf_dir, cpus, entry_mod, replicate=factor)
+    return kg_throughput(sf_dir, cpus, entry_mod, replicate=factor,
+                         partitions=partitions)
 
 
 if __name__ == "__main__":
@@ -298,7 +317,9 @@ if __name__ == "__main__":
         import __spark_entry__ as entry_mod
         print(json.dumps(kg_throughput(
             sf_dir, int(sys.argv[2]), entry_mod,
-            replicate=int(sys.argv[3]) if len(sys.argv) > 3 else 8)))
+            replicate=int(sys.argv[3]) if len(sys.argv) > 3 else 8,
+            partitions=(int(sys.argv[4]) or None)
+            if len(sys.argv) > 4 else None)))
     else:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps(run(sf_dir, cpus)))
