@@ -280,7 +280,30 @@ def run(sf_dir: str, cpus: int) -> dict:
         "vocab_scale": vocab_scale,
     }
     spark.stop()
+    payload["triple_pr"] = _triple_pr()
     return payload
+
+
+def _triple_pr() -> dict:
+    """North-metric evidence: triple-level P/R of the Spark pipeline vs the
+    COMPILED reference engine (scripts/triple_pr.py) at sf0.001.  Runs in a
+    subprocess with its own Spark session (after the headline session stops);
+    skipped cleanly when javac / the reference sources are unavailable or
+    when SPARK_GRAFT_TRIPLE_PR=0."""
+    import subprocess
+    if os.environ.get("SPARK_GRAFT_TRIPLE_PR", "1") == "0":
+        return {"available": False, "reason": "disabled"}
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "triple_pr.py")
+    try:
+        res = subprocess.run([sys.executable, script], capture_output=True,
+                             text=True, timeout=900)
+        for line in res.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"available": False, "reason": res.stderr[-300:]}
+    except Exception as exc:  # noqa: BLE001 - bench must not die on evidence
+        return {"available": False, "reason": str(exc)[:300]}
 
 
 def _scale_probe(sf_dir: str, cpus: int, factor: int, entry_mod,
