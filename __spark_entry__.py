@@ -180,7 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # six stay green under the same harness via scripts/oracle_check.py.
     demote = ("values_inline_union", "case_math_functions",
               "distinct_counts", "string_functions", "date_functions",
-              "set_ops_customer_tiers")
+              "set_ops_customer_tiers",
+              # r3 additions land beyond the window too (keeping the
+              # driver-validated 50 stable); same harness covers them
+              # via scripts/oracle_check.py + pytest
+              "gopher_repetition_stats", "c4_quality_filters")
     out = {n: f for n, f in all_q.items()
            if n in with_oracle and n not in demote}
     out.update({n: f for n, f in all_q.items()

@@ -447,6 +447,73 @@ def doc_quality_scores(spark, sf):
             .orderBy("doc_id"))
 
 
+@_q("gopher_repetition_stats", """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  FROM documents
+  WHERE length(trim(text)) > 0
+    AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+), uni AS (
+  SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(l) AS t FROM base) GROUP BY doc_id, t
+  ) GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+                 i -> l[i] || ' ' || l[i+1])) AS g FROM base)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), tri AS (
+  SELECT doc_id,
+         CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dupf
+  FROM (SELECT doc_id, list_transform(range(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS tg FROM base)
+)
+SELECT b.doc_id,
+       CAST(len(b.l) AS BIGINT) AS n_tokens,
+       round(CAST(uni.mx AS DOUBLE) / len(b.l), 4) AS top_unigram_frac,
+       round(CAST(bi.mx AS DOUBLE) / (len(b.l) - 1), 4) AS top_bigram_frac,
+       round(tri.dupf, 4) AS dup_trigram_frac
+FROM base b
+JOIN uni USING (doc_id) JOIN bi USING (doc_id) JOIN tri USING (doc_id)
+ORDER BY doc_id
+""")
+def gopher_repetition_stats(spark, sf):
+    # Gopher-style repetition signals as narrow JVM expressions — the
+    # sorted-array run scan in _max_multiplicity replaces the per-doc
+    # explode+groupBy a naive port would shuffle on (pure map stage at
+    # any corpus scale).
+    from ..textdata.analysis import repetition_stats
+    return repetition_stats(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+@_q("c4_quality_filters", """
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_words,
+       round(CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+             / len(l), 4) AS mean_word_len,
+       len(l) BETWEEN 30 AND 1000 AS ok_word_count,
+       round(CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+             / len(l), 4) BETWEEN 4.0 AND 5.0 AS ok_mean_len,
+       len(list_filter(l, t -> t IN ('the','a','an','and','or','of','to',
+                                     'in','is','was'))) > 0 AS has_stop_word,
+       (len(l) BETWEEN 30 AND 1000)
+         AND (round(CAST(list_sum(list_transform(l, x -> length(x)))
+                         AS DOUBLE) / len(l), 4) BETWEEN 4.0 AND 5.0)
+         AND len(list_filter(l, t -> t IN ('the','a','an','and','or','of',
+                                           'to','in','is','was'))) > 0
+         AS keep
+FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+      FROM documents WHERE length(trim(text)) > 0)
+ORDER BY doc_id
+""")
+def c4_quality_filters(spark, sf):
+    from ..textdata.analysis import c4_filters
+    return c4_filters(load(spark, sf, "documents")).orderBy("doc_id")
+
+
 @_q("lang_id_heuristic", """
 SELECT guessed_lang, count(*) AS n
 FROM (

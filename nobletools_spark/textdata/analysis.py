@@ -79,3 +79,76 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
                     ratio("[^.!?,;:]").alias("punct_ratio"),
                     F.round(stop_hits / F.size(toks), 4).alias("stop_ratio"),
                     F.size(toks).cast("long").alias("n_tokens")))
+
+
+def _max_multiplicity(arr):
+    """Highest multiplicity of any element in ``arr`` as a single JVM
+    expression: sort the array, then one aggregate() scan tracking the
+    current and best run length. No explode, no shuffle, no Python — a
+    pure map-side column, so repetition stats stay narrow at any scale."""
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(F.array_sort(arr), acc0, step, lambda a: a["best"])
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-inspired repetition features (Rae et al. 2021, appendix A1):
+    fraction of tokens claimed by the most frequent unigram/bigram and the
+    duplicate-trigram fraction — the standard pre-training signals for
+    boilerplate / degenerate repetition. Fractions are over n-gram counts
+    (not characters) so the DuckDB oracle can re-derive them exactly.
+    Docs with fewer than 3 tokens are excluded (no trigram exists)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+
+    def grams(width: int):
+        return F.transform(
+            F.sequence(F.lit(1), n - (width - 1)),
+            lambda i: F.concat_ws(" ", *[
+                F.element_at(toks, i + j) for j in range(width)]))
+
+    bigrams, trigrams = grams(2), grams(3)
+    return (df.where(n >= 3)
+            .select("doc_id",
+                    n.cast("long").alias("n_tokens"),
+                    F.round(_max_multiplicity(toks) / n, 4)
+                    .alias("top_unigram_frac"),
+                    F.round(_max_multiplicity(bigrams) / (n - 1), 4)
+                    .alias("top_bigram_frac"),
+                    F.round((F.size(trigrams)
+                             - F.size(F.array_distinct(trigrams)))
+                            / F.size(trigrams), 4)
+                    .alias("dup_trigram_frac")))
+
+
+def c4_filters(df: DataFrame, text_col: str = "text",
+               min_words: int = 30, max_words: int = 1000,
+               mean_len_lo: float = 4.0, mean_len_hi: float = 5.0) -> DataFrame:
+    """C4-inspired document keep/drop decision (Raffel et al. 2020, §2.2),
+    adapted to the corpus shape: word-count bounds, a mean-word-length
+    band, and stop-word presence (C4's English heuristic). Emits the
+    per-rule booleans plus the composite ``keep`` so downstream jobs can
+    audit drop reasons; pure column expressions end to end."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)) / n, 4)
+    has_stop = F.exists(toks, lambda t: t.isin(
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "was"))
+    ok_words = (n >= min_words) & (n <= max_words)
+    ok_len = (mean_len >= mean_len_lo) & (mean_len <= mean_len_hi)
+    return (df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select("doc_id",
+                    n.cast("long").alias("n_words"),
+                    mean_len.alias("mean_word_len"),
+                    ok_words.alias("ok_word_count"),
+                    ok_len.alias("ok_mean_len"),
+                    has_stop.alias("has_stop_word"),
+                    (ok_words & ok_len & has_stop).alias("keep")))

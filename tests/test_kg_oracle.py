@@ -64,4 +64,5 @@ def test_window_composition(entry):
     assert all(n in oracle for n in names[:50])
     assert set(names[50:]) == {
         "values_inline_union", "case_math_functions", "distinct_counts",
-        "string_functions", "date_functions", "set_ops_customer_tiers"}
+        "string_functions", "date_functions", "set_ops_customer_tiers",
+        "gopher_repetition_stats", "c4_quality_filters"}

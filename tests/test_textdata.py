@@ -226,6 +226,45 @@ class TestAnalysis:
                 assert 0.0 <= getattr(r, c) <= 1.0
 
 
+    def test_repetition_stats_hand_case(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a c"),       # 6 toks: top uni a=3, top bi "a b"=2, tri all distinct? a b a / b a b / a b a / b a c -> "a b a" twice
+             (2, "x y z"),             # all distinct
+             (3, "w w")],              # excluded (< 3 tokens)
+            "doc_id long, text string")
+        got = {r.doc_id: r for r in A.repetition_stats(df).collect()}
+        assert set(got) == {1, 2}
+        r1 = got[1]
+        assert r1.n_tokens == 6
+        assert r1.top_unigram_frac == round(3 / 6, 4)
+        assert r1.top_bigram_frac == round(2 / 5, 4)
+        assert r1.dup_trigram_frac == round(1 / 4, 4)  # "a b a" twice
+        r2 = got[2]
+        assert (r2.top_unigram_frac, r2.dup_trigram_frac) == (
+            round(1 / 3, 4), 0.0)
+
+    def test_c4_filters_rules(self, spark):
+        # 41 words, stop word present, mean len (3+40*5)/41 = 4.95 in band
+        long_ok = "the " + " ".join(["words"] * 40)
+        df = spark.createDataFrame(
+            [(1, long_ok),
+             (2, "tiny doc the"),                        # too few words
+             (3, " ".join(["words"] * 40))],             # no stop word
+            "doc_id long, text string")
+        got = {r.doc_id: r for r in A.c4_filters(df).collect()}
+        assert got[1].keep and got[1].ok_word_count and got[1].has_stop_word
+        assert not got[2].keep and not got[2].ok_word_count
+        assert not got[3].keep and not got[3].has_stop_word
+
+    def test_repetition_and_c4_are_narrow(self, spark, docs):
+        # pre-training corpus stats must stay pure map stages — any
+        # Exchange here becomes a full-corpus shuffle at 100 TB
+        for frame in (A.repetition_stats(docs), A.c4_filters(docs)):
+            plan = frame.sparkSession._jvm.PythonSQLUtils.explainString(
+                frame._jdf.queryExecution(), "formatted")
+            assert "Exchange" not in plan
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def media(self, spark):
