@@ -184,7 +184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # r3 additions land beyond the window too (keeping the
               # driver-validated 50 stable); same harness covers them
               # via scripts/oracle_check.py + pytest
-              "gopher_repetition_stats", "c4_quality_filters")
+              "gopher_repetition_stats", "c4_quality_filters",
+              "substring_dup_spans")
     out = {n: f for n, f in all_q.items()
            if n in with_oracle and n not in demote}
     out.update({n: f for n, f in all_q.items()

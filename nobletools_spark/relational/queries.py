@@ -514,6 +514,48 @@ def c4_quality_filters(spark, sf):
     return c4_filters(load(spark, sf, "documents")).orderBy("doc_id")
 
 
+@_q("substring_dup_spans", """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\W+') AS l
+  FROM documents WHERE length(trim(text)) > 0
+), g AS (
+  SELECT doc_id, pos,
+         substr(md5(l[pos] || ' ' || l[pos+1] || ' ' || l[pos+2]), 1, 16)
+           AS gh
+  FROM (SELECT doc_id, l,
+               unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
+                           ELSE []::BIGINT[] END) AS pos
+        FROM base)
+), dup AS (
+  SELECT doc_id, pos FROM g
+  WHERE gh IN (SELECT gh FROM g GROUP BY gh
+               HAVING min(doc_id) <> max(doc_id))
+), lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > 3 THEN 1 ELSE 0 END AS new_run
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), runs AS (
+  SELECT doc_id, pos,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM lagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) + 2 AS BIGINT) AS end_tok,
+       CAST(max(pos) + 2 - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_id, run
+ORDER BY doc_id, start_tok
+""")
+def substring_dup_spans(spark, sf):
+    # Lee-et-al-style exact-substring dedup: maximal cross-document
+    # repeated token runs. Two hash shuffles (gram key, then doc_id) —
+    # the suffix-array semantics without the suffix array.
+    from ..textdata.dedup import substring_dup_spans as spans
+    return (spans(load(spark, sf, "documents"))
+            .orderBy("doc_id", "start_tok"))
+
+
 @_q("lang_id_heuristic", """
 SELECT guessed_lang, count(*) AS n
 FROM (

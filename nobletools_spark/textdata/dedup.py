@@ -514,3 +514,60 @@ def embedding_lsh_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return (cand.select("a", "b", F.round(cos, 4).alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def substring_dup_spans(df: DataFrame, text_col: str = "text",
+                        k: int = 3) -> DataFrame:
+    """Cross-document repeated-substring spans — the exact-substring dedup
+    of Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed as a two-shuffle Spark job instead of a suffix
+    array: a token position is *duplicated* when the k-gram starting there
+    also occurs in another document; maximal runs of duplicated positions
+    merge into (doc_id, start_tok, end_tok) spans a cleaning pass can cut.
+
+    Stages / scale posture:
+      1. k-gram emission — narrow transform + explode; the gram key is the
+         first 16 hex of md5 (constant-width, and DuckDB recomputes it for
+         the oracle; at 100 TB you'd swap in xxhash64 for cheaper bytes,
+         same topology).
+      2. cross-doc duplicate detection — one shuffle on the gram key; the
+         ">=2 distinct docs" test is min(doc_id) != max(doc_id) over the
+         gram window, so hot grams (stop-phrase skew) cost two running
+         aggregates, never a collect_set.
+      3. span merge — one shuffle on doc_id: lag-gap run grouping, then
+         groupBy(run) min/max. Output is bounded by the duplicated text
+         itself.
+    """
+    from pyspark.sql.window import Window
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.struct(
+        i.alias("pos"),
+        F.substring(F.md5(F.concat_ws(" ", *[
+            F.element_at(toks, i + j) for j in range(k)])), 1, 16)
+        .alias("gh")))
+    g = (df.select("doc_id", F.explode(grams).alias("g"))
+         .select("doc_id", F.col("g.pos").alias("pos"),
+                 F.col("g.gh").alias("gh")))
+    wg = Window.partitionBy("gh")
+    dup = (g.withColumn("_lo", F.min("doc_id").over(wg))
+           .withColumn("_hi", F.max("doc_id").over(wg))
+           .where(F.col("_lo") != F.col("_hi"))
+           .select("doc_id", "pos"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (dup
+            .withColumn("_gap", F.col("pos") - F.lag("pos", 1).over(wd))
+            .withColumn("_new", F.when(
+                F.col("_gap").isNull() | (F.col("_gap") > k), 1).otherwise(0))
+            .withColumn("_run", F.sum("_new").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0))))
+    return (runs.groupBy("doc_id", "_run")
+            .agg(F.min("pos").alias("start_tok"),
+                 (F.max("pos") + (k - 1)).alias("end_tok"))
+            .select("doc_id",
+                    F.col("start_tok").cast("long"),
+                    F.col("end_tok").cast("long"),
+                    (F.col("end_tok") - F.col("start_tok") + 1)
+                    .cast("long").alias("span_tokens")))

@@ -65,4 +65,5 @@ def test_window_composition(entry):
     assert set(names[50:]) == {
         "values_inline_union", "case_math_functions", "distinct_counts",
         "string_functions", "date_functions", "set_ops_customer_tiers",
-        "gopher_repetition_stats", "c4_quality_filters"}
+        "gopher_repetition_stats", "c4_quality_filters",
+        "substring_dup_spans"}

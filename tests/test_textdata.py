@@ -140,6 +140,41 @@ class TestMinHash:
             [(a, b, float(j)) for a, b, j in want]
 
 
+class TestSubstringDedup:
+    def test_planted_shared_run_found_with_offsets(self, spark):
+        from nobletools_spark.textdata.dedup import substring_dup_spans
+        df = spark.createDataFrame([
+            (1, "alpha beta gamma delta epsilon zeta unique1 unique2"),
+            (2, "prefix alpha beta gamma delta epsilon zeta suffix"),
+            (3, "totally different words here nothing shared at all"),
+            (4, "short doc"),
+        ], "doc_id long, text string")
+        got = {(r.doc_id, r.start_tok, r.end_tok, r.span_tokens)
+               for r in substring_dup_spans(df).collect()}
+        # the shared 6-token run, at each doc's own offset; nothing else
+        assert got == {(1, 1, 6, 6), (2, 2, 7, 6)}
+
+    def test_adjacent_runs_merge(self, spark):
+        from nobletools_spark.textdata.dedup import substring_dup_spans
+        # doc 3 shares [a b c] with doc 1 and [d e f] with doc 2; in doc 3
+        # the two duplicated trigrams are adjacent -> ONE merged span
+        df = spark.createDataFrame([
+            (1, "a b c x1 y1 z1"),
+            (2, "x2 y2 z2 d e f"),
+            (3, "a b c d e f"),
+        ], "doc_id long, text string")
+        got = {r.doc_id: (r.start_tok, r.end_tok)
+               for r in substring_dup_spans(df).collect()}
+        assert got[3] == (1, 6)
+        assert got[1] == (1, 3) and got[2] == (4, 6)
+
+    def test_no_cross_doc_dup_no_rows(self, spark):
+        from nobletools_spark.textdata.dedup import substring_dup_spans
+        df = spark.createDataFrame(
+            [(1, "p q r s t"), (2, "u v w x y")], "doc_id long, text string")
+        assert substring_dup_spans(df).count() == 0
+
+
 class TestSimHash:
     def test_identical_zero_hamming(self, spark):
         df = spark.createDataFrame(
