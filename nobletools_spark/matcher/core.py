@@ -24,6 +24,7 @@ single-threaded loop embarrassingly parallel on Spark.
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from dataclasses import dataclass, field
 from functools import lru_cache
 
@@ -238,24 +239,40 @@ def get_annotations(matched_term: str, search_string: str,
 
 def split_mentions(concept_matched_term: str, search_string: str,
                    annotations: list[tuple[str, int]],
-                   max_word_gap: int) -> list[list[tuple[str, int]]]:
+                   max_word_gap: int,
+                   words: list[str] | None = None
+                   ) -> list[list[tuple[str, int]]]:
     """Mention.getMentions:207-270 — split one concept's word annotations
     into one mention per contiguous word window; fall back to a single
-    mention holding everything."""
+    mention holding everything. ``words`` lets the caller share one
+    get_words(sentence) across every concept of the sentence; the window
+    test `tset ⊆ words[i:n]` is evaluated via bisect over precomputed
+    term-word positions (identical truth value, no per-position slice)."""
     twords = _term_words(concept_matched_term)
     if len(annotations) == len(twords):
         return [annotations]
 
-    words = T.get_words(search_string)
+    if words is None:
+        words = T.get_words(search_string)
     tset = set(twords)
     span = (max_word_gap + 1) * (len(twords) - 1) + 1
+    pos: dict[str, list[int]] = {t: [] for t in tset}
+    for j, w in enumerate(words):
+        if w in tset:
+            pos[w].append(j)
     groups: list[list[tuple[str, int]]] = []
     offs = 0
     for i, w in enumerate(words):
         if w in tset:
             n = min(i + span, len(words))
-            window = words[i:n]
-            if tset.issubset(window):
+            ok = True
+            for t in tset:
+                lst = pos[t]
+                k = bisect_left(lst, i)
+                if k >= len(lst) or lst[k] >= n:
+                    ok = False
+                    break
+            if ok:
                 st = search_string.find(w, offs)
                 last = words[n - 1]
                 en = search_string.find(last, offs) + len(last)
@@ -442,6 +459,7 @@ def process_sentence(text: str, dico: Dictionary,
         terms = [t for t in terms if t not in to_rem]
 
     seen_original: set[str] = set()
+    sent_words: list[str] | None = None  # one get_words for all concepts
     for term in terms:
         cuis = dico.term_map.get(term)
         if not cuis:
@@ -466,7 +484,10 @@ def process_sentence(text: str, dico: Dictionary,
             annotations = get_annotations(oterm, text, nwc.original)
             if not annotations:
                 continue
-            for group in split_mentions(oterm, text, annotations, cfg.max_word_gap):
+            if sent_words is None and len(annotations) != len(_term_words(oterm)):
+                sent_words = T.get_words(text)
+            for group in split_mentions(oterm, text, annotations,
+                                        cfg.max_word_gap, sent_words):
                 result.append(MentionOut(
                     cui=meta.cui, concept_name=meta.name, matched_term=oterm,
                     normalized_term=term, score=score, annotations=group,
