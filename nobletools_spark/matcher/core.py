@@ -223,63 +223,98 @@ def get_original_term(text: str, term: str, norm_map: dict[str, str]) -> str:
 
 
 def get_annotations(matched_term: str, search_string: str,
-                    original_words: list[str]) -> list[tuple[str, int]]:
+                    original_words: list[str],
+                    index: "SentenceIndex | None" = None
+                    ) -> list[tuple[str, int]]:
     """NobleCoderUtils.getAnnotations:492-507 — word-level spans; offsets are
-    found with indexOf(word, running_n) over the raw sentence."""
+    found with indexOf(word, running_n) over the raw sentence. ``index``
+    (a SentenceIndex over ``original_words``) replaces the per-concept
+    scan of every sentence word with a lookup of the matched words'
+    occurrence positions — same emission order (sentence order, every
+    occurrence) and the same running-offset find() anchor."""
     matched_words = set(_term_words(matched_term))
-    out: list[tuple[str, int]] = []
-    n = 0
-    for w in original_words:
-        if w in matched_words:
-            off = search_string.find(w, n)
-            out.append((w, off))
-        n += len(w) + 1
-    return out
+    if index is None:
+        index = SentenceIndex(original_words)
+    cand: list[int] = []
+    for w in matched_words:
+        lst = index.pos.get(w)
+        if lst:
+            cand.extend(lst)
+    cand.sort()
+    return [(index.words[j],
+             search_string.find(index.words[j], index.offs[j]))
+            for j in cand]
+
+
+class SentenceIndex:
+    """Per-sentence word index shared across every concept's
+    split_mentions call: the get_words token list, each word's positions,
+    and the running char offset the reference accumulates word by word
+    (Mention.getMentions' `offs += len(w) + 1`). Built once per sentence
+    instead of rescanning the word list per concept."""
+    __slots__ = ("words", "pos", "offs")
+
+    def __init__(self, words: list[str]):
+        self.words = words
+        self.pos: dict[str, list[int]] = {}
+        self.offs: list[int] = []
+        n = 0
+        for j, w in enumerate(words):
+            self.pos.setdefault(w, []).append(j)
+            self.offs.append(n)
+            n += len(w) + 1
 
 
 def split_mentions(concept_matched_term: str, search_string: str,
                    annotations: list[tuple[str, int]],
                    max_word_gap: int,
-                   words: list[str] | None = None
+                   index: SentenceIndex | None = None
                    ) -> list[list[tuple[str, int]]]:
     """Mention.getMentions:207-270 — split one concept's word annotations
     into one mention per contiguous word window; fall back to a single
-    mention holding everything. ``words`` lets the caller share one
-    get_words(sentence) across every concept of the sentence; the window
-    test `tset ⊆ words[i:n]` is evaluated via bisect over precomputed
-    term-word positions (identical truth value, no per-position slice)."""
+    mention holding everything. The reference's scan is `for each word
+    position i with words[i] in term: if term-words ⊆ words[i:i+span]`;
+    here the candidate i's come straight from the index's position lists
+    and the window test is a bisect per term word — identical truth value
+    (t ∈ words[i:n] iff some position of t lies in [i, n)) without
+    touching the non-term words at all."""
     twords = _term_words(concept_matched_term)
     if len(annotations) == len(twords):
         return [annotations]
 
-    if words is None:
-        words = T.get_words(search_string)
-    tset = set(twords)
+    if index is None:
+        index = SentenceIndex(T.get_words(search_string))
+    words = index.words
     span = (max_word_gap + 1) * (len(twords) - 1) + 1
-    pos: dict[str, list[int]] = {t: [] for t in tset}
-    for j, w in enumerate(words):
-        if w in tset:
-            pos[w].append(j)
+    plists = []
+    for t in set(twords):
+        lst = index.pos.get(t)
+        if lst is None:
+            # a term word absent from the sentence word list: the subset
+            # test fails at every position -> reference falls back to one
+            # mention holding all annotations
+            return [annotations]
+        plists.append(lst)
     groups: list[list[tuple[str, int]]] = []
-    offs = 0
-    for i, w in enumerate(words):
-        if w in tset:
-            n = min(i + span, len(words))
-            ok = True
-            for t in tset:
-                lst = pos[t]
-                k = bisect_left(lst, i)
-                if k >= len(lst) or lst[k] >= n:
-                    ok = False
-                    break
-            if ok:
-                st = search_string.find(w, offs)
-                last = words[n - 1]
-                en = search_string.find(last, offs) + len(last)
-                alist = [a for a in annotations if st <= a[1] and a[1] + len(a[0]) <= en]
-                if alist:
-                    groups.append(alist)
-        offs += len(w) + 1
+    nwords = len(words)
+    cand = sorted(set().union(*plists)) if len(plists) > 1 else plists[0]
+    for i in cand:
+        n = min(i + span, nwords)
+        ok = True
+        for lst in plists:
+            k = bisect_left(lst, i)
+            if k >= len(lst) or lst[k] >= n:
+                ok = False
+                break
+        if ok:
+            offs = index.offs[i]
+            st = search_string.find(words[i], offs)
+            last = words[n - 1]
+            en = search_string.find(last, offs) + len(last)
+            alist = [a for a in annotations
+                     if st <= a[1] and a[1] + len(a[0]) <= en]
+            if alist:
+                groups.append(alist)
     if not groups:
         groups = [annotations]
     return groups
@@ -459,7 +494,8 @@ def process_sentence(text: str, dico: Dictionary,
         terms = [t for t in terms if t not in to_rem]
 
     seen_original: set[str] = set()
-    sent_words: list[str] | None = None  # one get_words for all concepts
+    sent_index: SentenceIndex | None = None   # over get_words(text)
+    orig_index: SentenceIndex | None = None   # over nwc.original
     for term in terms:
         cuis = dico.term_map.get(term)
         if not cuis:
@@ -481,13 +517,16 @@ def process_sentence(text: str, dico: Dictionary,
         for meta, score in candidates:
             if is_filtered_out(meta, cfg):
                 continue
-            annotations = get_annotations(oterm, text, nwc.original)
+            if orig_index is None:
+                orig_index = SentenceIndex(nwc.original)
+            annotations = get_annotations(oterm, text, nwc.original,
+                                          orig_index)
             if not annotations:
                 continue
-            if sent_words is None and len(annotations) != len(_term_words(oterm)):
-                sent_words = T.get_words(text)
+            if sent_index is None and len(annotations) != len(_term_words(oterm)):
+                sent_index = SentenceIndex(T.get_words(text))
             for group in split_mentions(oterm, text, annotations,
-                                        cfg.max_word_gap, sent_words):
+                                        cfg.max_word_gap, sent_index):
                 result.append(MentionOut(
                     cui=meta.cui, concept_name=meta.name, matched_term=oterm,
                     normalized_term=term, score=score, annotations=group,
