@@ -185,7 +185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # driver-validated 50 stable); same harness covers them
               # via scripts/oracle_check.py + pytest
               "gopher_repetition_stats", "c4_quality_filters",
-              "substring_dup_spans")
+              "substring_dup_spans", "embedding_dup_groups",
+              "datamix_stratified_sample", "datamix_report",
+              "pack_sequences_budget")
     out = {n: f for n, f in all_q.items()
            if n in with_oracle and n not in demote}
     out.update({n: f for n, f in all_q.items()

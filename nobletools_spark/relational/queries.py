@@ -1365,3 +1365,153 @@ def lateral_explode_join(spark, sf):
             .groupBy("doc_id", "tok")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("doc_id", "tok"))
+
+
+# ---------------------------------------- training-data assembly (r3) ----
+
+@_q("embedding_dup_groups", """
+WITH RECURSIVE e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev
+                     FROM embeddings),
+u AS (SELECT id, list_transform(ev, x -> x / sqrt(
+        list_reduce(list_transform(ev, y -> y * y), (a, b) -> a + b))) AS v
+      FROM e),
+pl AS (  -- md5-derived hyperplane components, re-derived independently
+  SELECT p.p, d.d,
+         CAST(list_reduce(list_transform(
+           string_split(substr(md5(p.p || ':' || d.d), 1, 15), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, x) -> a * 16 + x) AS DOUBLE)
+           / 1152921504606846976.0 - 0.5 AS c
+  FROM range(0, 16) p(p), range(1, 65) d(d)),
+plv AS (SELECT p, list(c ORDER BY d) AS pv FROM pl GROUP BY p),
+proj AS (
+  SELECT u.id, plv.p,
+         list_reduce(list_transform(range(1, 65),
+           i -> u.v[CAST(i AS INT)] * plv.pv[CAST(i AS INT)]),
+           (a, x) -> a + x) AS pr
+  FROM u, plv),
+keys AS (
+  SELECT id, CAST(p // 2 AS INT) AS band,
+         string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY p) AS key
+  FROM proj GROUP BY id, p // 2),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM keys x JOIN keys y
+    ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+p2 AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN u ua ON ua.id = c.a
+  JOIN u ub ON ub.id = c.b
+  WHERE round(list_reduce(list_transform(range(1, 65),
+          i -> ua.v[CAST(i AS INT)] * ub.v[CAST(i AS INT)]),
+          (a, x) -> a + x), 4) >= 0.4),
+und(x, y) AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+reach(x, y) AS (SELECT x, y FROM und
+                UNION
+                SELECT r.x, u2.y FROM reach r JOIN und u2 ON r.y = u2.x
+                WHERE r.x <> u2.y)
+SELECT x AS vec_id, least(x, min(y)) AS group_id
+FROM reach GROUP BY x ORDER BY vec_id
+""")
+def embedding_dup_groups(spark, sf):
+    # SemDeDup-shape semantic dup GROUPS (linear surface), mirroring
+    # minhash_dup_groups: LSH candidates -> exact-cosine verify ->
+    # connected components. The oracle re-derives the ENTIRE pipeline
+    # independently — md5 hyperplanes, sign bands, candidate buckets,
+    # exact-cosine verify (same CTE chain as embedding_ann_lsh_pairs) —
+    # then takes the recursive closure over those verified pairs. The
+    # recall-vs-brute-truth contract lives in embedding_ann_lsh_recall
+    # (>=0.9 asserted; one true pair at sf0.01 falls outside the banding,
+    # which is WHY this oracle replays the LSH pipeline instead of
+    # pretending brute-force closure is the same query).
+    from ..textdata.dedup import embedding_dup_groups as impl
+    e = load(spark, sf, "embeddings")
+    return impl(e, threshold=0.4, dim=64).orderBy("vec_id")
+
+
+@_q("datamix_stratified_sample", """
+SELECT doc_id, lang, source FROM documents
+WHERE list_reduce(list_transform(
+        string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        (a, b) -> a * 16 + b) % 10000
+      < CAST((CASE lang WHEN 'en' THEN 0.25 WHEN 'fr' THEN 0.5
+                        WHEN 'de' THEN 0.75 ELSE 1.0 END) * 10000 AS BIGINT)
+ORDER BY doc_id
+""")
+def datamix_stratified_sample(spark, sf):
+    # deterministic domain-mix downsampling: keep-decision is a pure
+    # md5 function of (doc_id, stratum) — reproducible across engines and
+    # cluster sizes, unlike df.sample whose output depends on the split
+    # layout. Map-side only (no shuffle); the oracle re-derives every
+    # keep/drop decision independently.
+    from ..textdata.packing import stratified_sample
+    d = load(spark, sf, "documents")
+    return (stratified_sample(d, {"en": 0.25, "fr": 0.5, "de": 0.75},
+                              strata_col="lang")
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
+@_q("datamix_report", """
+WITH k AS (
+  SELECT lang,
+         list_reduce(list_transform(
+           string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, b) -> a * 16 + b) % 10000
+         < CAST((CASE lang WHEN 'en' THEN 0.25 WHEN 'fr' THEN 0.5
+                           WHEN 'de' THEN 0.75 ELSE 1.0 END) * 10000
+                AS BIGINT) AS kept
+  FROM documents)
+SELECT lang AS stratum, count(*) AS n_total,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS kept_ratio
+FROM k GROUP BY lang ORDER BY stratum
+""")
+def datamix_report(spark, sf):
+    # the mixture the sample actually achieves, per stratum — dropped
+    # coverage visible, not silent; one partial-aggregated pass
+    from ..textdata.packing import mix_report
+    d = load(spark, sf, "documents")
+    return mix_report(d, {"en": 0.25, "fr": 0.5, "de": 0.75},
+                      strata_col="lang")
+
+
+@_q("pack_sequences_budget", """
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         list_reduce(list_transform(
+           string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, b) -> a * 16 + b) % 16 AS bucket,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+  FROM documents),
+d AS (SELECT doc_id, bucket, tok,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM base),
+walk(bucket, rn, doc_id, tok, acc, seq) AS (
+  SELECT bucket, rn, doc_id, tok, tok, 0 FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.tok,
+         CASE WHEN w.acc > 0 AND w.acc + d.tok > 512
+              THEN d.tok ELSE w.acc + d.tok END,
+         CASE WHEN w.acc > 0 AND w.acc + d.tok > 512
+              THEN w.seq + 1 ELSE w.seq END
+  FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(seq AS BIGINT) AS seq, CAST(tok AS BIGINT) AS ws_tokens
+FROM walk ORDER BY doc_id
+""")
+def pack_sequences_budget(spark, sf):
+    # greedy in-order sequence packing under a 512-token budget, bucketed
+    # by md5(doc_id) % 16 so the sequential walk parallelizes across
+    # buckets (one bounded-key shuffle + one Arrow pass per bucket). The
+    # oracle replays the identical greedy walk as a recursive CTE over
+    # (bucket, rn) — every seq assignment re-derived independently.
+    from ..textdata.packing import pack_sequences
+    d = load(spark, sf, "documents")
+    return pack_sequences(d, budget=512, n_buckets=16).orderBy("doc_id")

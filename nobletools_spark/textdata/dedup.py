@@ -516,6 +516,26 @@ def embedding_lsh_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
             .where(F.col("cosine") >= threshold))
 
 
+def embedding_dup_groups(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.45,
+                         planes: int = 16, bands: int = 8,
+                         dim: int | None = None) -> DataFrame:
+    """-> (vec_id, group_id): semantic duplicate GROUPS — connected
+    components over the verified cosine near-dup pair graph (SemDeDup
+    shape: keep one representative per semantic cluster). The linear
+    100 TB surface for embedding dedup, mirroring ``minhash_dup_groups``
+    for lexical dedup: the pair graph is output-bounded (LSH candidates,
+    exact-cosine verified), and components replace quadratic pair
+    listing with a per-doc group label; group_id = min vec_id reachable.
+    Only vectors in at least one verified pair appear."""
+    pairs = embedding_lsh_neardup_pairs(df, id_col, vec_col, threshold,
+                                        planes, bands, dim)
+    return (candidate_components(pairs.select("a", "b"))
+            .select(F.col("doc_id").alias("vec_id"),
+                    F.col("comp").alias("group_id")))
+
+
 def substring_dup_spans(df: DataFrame, text_col: str = "text",
                         k: int = 3) -> DataFrame:
     """Cross-document repeated-substring spans — the exact-substring dedup
