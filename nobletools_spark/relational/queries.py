@@ -1515,3 +1515,27 @@ def pack_sequences_budget(spark, sf):
     from ..textdata.packing import pack_sequences
     d = load(spark, sf, "documents")
     return pack_sequences(d, budget=512, n_buckets=16).orderBy("doc_id")
+
+
+@_q("bpe_pair_counts", """
+WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+             AS word
+           FROM documents),
+wc AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word),
+syms AS (SELECT n, list_append(regexp_extract_all(word, '.'), '</w>') AS s
+         FROM wc),
+p AS (SELECT s[i] AS a, s[i + 1] AS b, n
+      FROM (SELECT n, s, unnest(range(1, len(s))) AS i FROM syms)),
+agg AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n FROM p GROUP BY a, b)
+SELECT a, b, n FROM agg ORDER BY n DESC, a, b LIMIT 50
+""")
+def bpe_pair_counts(spark, sf):
+    # the BPE tokenizer-training hot loop's distributed stage: adjacent
+    # symbol-pair frequencies over the word table, weighted by word
+    # count. Word counting collapses the corpus map-side; the pair
+    # explosion runs over the (small) vocabulary table. Top-50 with a
+    # total tiebreak (n desc, a, b) so LIMIT is deterministic.
+    from ..textdata.bpe import pair_counts, word_counts
+    d = load(spark, sf, "documents")
+    return (pair_counts(word_counts(d))
+            .orderBy(F.desc("n"), "a", "b").limit(50))

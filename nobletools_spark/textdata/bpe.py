@@ -1,0 +1,150 @@
+"""Byte-pair-encoding tokenizer training and encoding over a corpus.
+
+Sennrich-style BPE (the LLM-tokenizer shape): train merges on the
+word-frequency table, then encode the corpus with the learned merge
+ranks. The split of labor is the industrial one:
+
+- **Corpus-scale stages are distributed.** ``word_counts`` is the one
+  pass over all text (groupBy word, partial-aggregated map-side);
+  ``pair_counts`` is the distributed adjacent-pair aggregation (the BPE
+  training hot loop's first iteration, oracle-checked in SQL);
+  ``bpe_encode`` re-tokenizes every document with the learned table (an
+  Arrow-batched pandas pass — the 100 TB-relevant step).
+- **The merge loop is vocab-bounded, not corpus-bounded.** After the
+  corpus collapses to (word, count), the table is bounded by distinct
+  vocabulary (~1e5-1e7 rows at web scale, independent of corpus bytes),
+  so the iterative merge selection runs on the collected table — the
+  same bounded-collect pattern as the terminology broadcast build
+  (terminology/build.py), documented and size-guarded, NOT a corpus
+  collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker, per the original BPE formulation
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> (word, n): the one corpus-scale pass. Lowercased whitespace
+    words; Catalyst partial-aggregates map-side so the shuffle carries
+    (word, partial_count), not rows."""
+    w = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    return (df.select(w.alias("word")).where(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _sym_col(word_col):
+    """Initial symbol sequence: characters plus the end-of-word marker."""
+    return F.concat(F.regexp_extract_all(word_col, F.lit("."), 0),
+                    F.array(F.lit(END)))
+
+
+def pair_counts(wc: DataFrame) -> DataFrame:
+    """-> (a, b, n): adjacent-symbol pair frequencies over the word table,
+    weighted by word count — one BPE training iteration's statistics,
+    fully distributed (explode over an index sequence, JVM-side; groupBy
+    pair). At web scale this is the stage worth distributing: the pair
+    key space is quadratic in alphabet, tiny next to the corpus."""
+    syms = _sym_col(F.col("word"))
+    d = wc.select("n", syms.alias("s"))
+    idx = F.sequence(F.lit(1), F.size("s") - 1)
+    pairs = d.select(
+        "n", F.explode(F.transform(
+            idx, lambda i: F.struct(
+                F.element_at("s", i).alias("a"),
+                F.element_at("s", i + 1).alias("b")))).alias("p"))
+    return (pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("n")))
+
+
+def _merge_seq(seq: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right merge of adjacent (a, b) into a+b."""
+    out: list[str] = []
+    i = 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def bpe_train(df: DataFrame, num_merges: int = 100,
+              text_col: str = "text",
+              max_vocab_rows: int = 10_000_000) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges. Tiebreak is deterministic: max
+    count, then lexicographic (a, b) — so training is reproducible across
+    cluster sizes and engines.
+
+    The corpus-scale work is ``word_counts`` (distributed); the merge
+    loop runs over the collected (word, n) table, which is bounded by
+    DISTINCT vocabulary, not corpus size — guarded by ``max_vocab_rows``
+    (at the guard's default, the table is ~100 MB: broadcast-build scale,
+    same budget argument as terminology/build.py's dictionary collect)."""
+    wc = word_counts(df, text_col)
+    n_vocab = wc.count()
+    if n_vocab > max_vocab_rows:
+        raise ValueError(
+            f"bpe_train: {n_vocab} distinct words exceeds max_vocab_rows="
+            f"{max_vocab_rows}; raise the guard or pre-filter the corpus")
+    table = [(list(r.word) + [END], r.n) for r in wc.collect()]
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, n in table:
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        # deterministic tiebreak: max count, then lexicographically
+        # smallest pair
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        merges.append(best)
+        table = [(_merge_seq(seq, *best), n) for seq, n in table]
+    return merges
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text") -> DataFrame:
+    """-> (doc_id, tokens array<string>): encode every document with the
+    learned merge ranks — the corpus-scale application step, one
+    Arrow-batched pandas pass, merge table shipped in the closure (small:
+    num_merges entries). Standard rank-greedy BPE encoding: repeatedly
+    merge the lowest-rank adjacent pair present."""
+    import pandas as pd
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def enc_word(word: str) -> list[str]:
+        seq = list(word) + [END]
+        while len(seq) > 1:
+            ranked = [(rank[(seq[i], seq[i + 1])], i)
+                      for i in range(len(seq) - 1)
+                      if (seq[i], seq[i + 1]) in rank]
+            if not ranked:
+                break
+            r, _ = min(ranked)
+            a, b = merges[r]
+            seq = _merge_seq(seq, a, b)
+        return seq
+
+    def gen(batches):
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                out: list[str] = []
+                for w in (t or "").lower().split():
+                    out.extend(enc_word(w))
+                toks.append(out)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tokens": toks})
+
+    return (df.select("doc_id", text_col)
+            .mapInPandas(gen, schema="doc_id long, tokens array<string>"))
