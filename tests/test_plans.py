@@ -102,3 +102,43 @@ class TestScalePathPlans:
             schema=SENTENCES_SCHEMA)
         plan = plan_of(detect_mentions_shuffle(sents, tables))
         assert plan.count("Join") >= 3       # word -> term -> concept
+
+
+class TestTrainingDataAssemblyPlans:
+    def test_stratified_sample_is_map_side_only(self, spark):
+        # datamix sampling must not shuffle: scan -> filter, zero
+        # Exchange operators, md5 keep-rule evaluated in codegen
+        from nobletools_spark.textdata.packing import stratified_sample
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(stratified_sample(d, {"en": 0.25}))
+        assert "Exchange" not in plan
+        # the keep-rule filter runs inside whole-stage codegen
+        assert "codegen id" in plan_of(
+            stratified_sample(d, {"en": 0.25}), "formatted")
+
+    def test_pack_sequences_single_bucket_shuffle(self, spark):
+        # exactly one Exchange (the bounded bucket key) feeding one
+        # FlatMapGroupsInPandas — the sequential walk is per-bucket only
+        from nobletools_spark.textdata.packing import pack_sequences
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(pack_sequences(d, 512, 16))
+        assert plan.count("Exchange") == 1
+        assert "FlatMapGroupsInPandas" in plan
+
+    def test_bpe_pair_counts_partial_aggregates(self, spark):
+        # both aggregations partial-aggregate map-side (HashAggregate
+        # pairs around each Exchange); no Python in the plan at all
+        from nobletools_spark.textdata.bpe import pair_counts, word_counts
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(pair_counts(word_counts(d)))
+        assert plan.count("HashAggregate") == 4   # partial+final, twice
+        assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+    def test_embedding_dup_groups_no_quadratic_ops(self, spark):
+        # the grouping surface must stay free of cartesian products and
+        # driver funnels (no collect_list over the corpus)
+        from nobletools_spark.textdata.dedup import embedding_dup_groups
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = plan_of(embedding_dup_groups(e, threshold=0.4, dim=64))
+        assert "CartesianProduct" not in plan
+        assert "collect_list" not in plan
