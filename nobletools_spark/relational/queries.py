@@ -1539,3 +1539,35 @@ def bpe_pair_counts(spark, sf):
     d = load(spark, sf, "documents")
     return (pair_counts(word_counts(d))
             .orderBy(F.desc("n"), "a", "b").limit(50))
+
+
+@_q("minhash_incremental_pairs", f"""
+WITH {_JACCARD_PAIRS_CTE},
+delta AS (
+  SELECT doc_id FROM documents
+  WHERE list_reduce(list_transform(
+          string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+          (a, b) -> a * 16 + b) % 5 = 0)
+SELECT p.a, p.b, round(i*1.0/(za.n+zb.n-i), 4) AS jaccard
+FROM p JOIN z za ON p.a = za.doc_id JOIN z zb ON p.b = zb.doc_id
+WHERE i*1.0/(za.n+zb.n-i) >= 0.8
+  AND (p.a IN (SELECT doc_id FROM delta)
+       OR p.b IN (SELECT doc_id FROM delta))
+ORDER BY a, b
+""")
+def minhash_incremental_pairs(spark, sf):
+    # incremental (daily-crawl-delta) dedup: a ~20% md5-selected slice of
+    # the corpus plays the "new batch", probing the remaining corpus's
+    # banded LSH state with an equi-join on (band, h) — no corpus-vs-
+    # corpus re-pairing. The oracle recomputes the exact n-gram Jaccard
+    # pair set restricted to pairs touching the delta.
+    from ..textdata.dedup import minhash_incremental_pairs as impl
+    from ..textdata.packing import md5_bucket
+    d = _spread(spark, load(spark, sf, "documents"))
+    is_new = md5_bucket(F.col("doc_id"), 5) == 0
+    corpus = d.where(~is_new)
+    new = d.where(is_new)
+    return (impl(corpus, new, threshold=0.8)
+            .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("a", "b"))

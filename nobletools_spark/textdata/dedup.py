@@ -591,3 +591,71 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
                     F.col("end_tok").cast("long"),
                     (F.col("end_tok") - F.col("start_tok") + 1)
                     .cast("long").alias("span_tokens")))
+
+
+# ------------------------------------------------- incremental dedup -----
+
+def band_keys(signatures: DataFrame, bands: int = DEFAULT_BANDS,
+              num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    """-> (doc_id, band, h): the banded LSH bucket keys — the PERSISTED
+    STATE of incremental dedup. At corpus scale this table is written
+    once (k/bands hashes folded per band, 3 longs per row), partitioned/
+    bucketed by (band, h); a daily delta probes it with an equi-join that
+    shuffles only the delta."""
+    rows = num_hashes // bands
+    len_ok = F.assert_true(
+        F.size("sig") == num_hashes,
+        F.concat(F.lit("band_keys: size(sig) != num_hashes="),
+                 F.lit(str(num_hashes)), F.lit(" for doc "), F.col("doc_id")))
+
+    def _band_hash(b: int):
+        h = F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
+                         for r in range(rows)])
+        return F.when(len_ok.isNull(), h) if b == 0 else h
+
+    cols = [F.struct(F.lit(b).alias("band"), _band_hash(b).alias("h"))
+            for b in range(bands)]
+    return (signatures
+            .select("doc_id", F.explode(F.array(*cols)).alias("bk"))
+            .select("doc_id", "bk.band", "bk.h"))
+
+
+def minhash_incremental_pairs(corpus_docs: DataFrame, new_docs: DataFrame,
+                              text_col: str = "text",
+                              threshold: float = 0.8,
+                              num_hashes: int = DEFAULT_NUM_HASHES,
+                              bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Near-dup pairs TOUCHING a new-document batch: every verified pair
+    (a < b) where at least one side is in ``new_docs`` — the daily-crawl
+    increment, without re-pairing the existing corpus against itself.
+
+    Scale shape: the corpus side is represented ONLY by its band-key
+    state (``band_keys``, precomputed and bucketed at real scale — here
+    derived inline from ``corpus_docs`` for a self-contained call) plus
+    a text lookup for verify. The delta's keys probe the state with an
+    equi-join on (band, h); candidates are bounded by the delta's true
+    matches + LSH false positives, and only candidate documents are
+    re-shingled for the exact-Jaccard verify (semi-join prefilter,
+    exactly like ``minhash_dup_pairs``). New-vs-new pairs inside the
+    batch are included (the batch must also dedup against itself)."""
+    new_keys = band_keys(
+        minhash_signatures(shingle_array(new_docs, text_col), num_hashes),
+        bands, num_hashes)
+    corpus_keys = band_keys(
+        minhash_signatures(shingle_array(corpus_docs, text_col), num_hashes),
+        bands, num_hashes)
+    all_keys = corpus_keys.unionByName(new_keys)
+    cand = (new_keys.alias("x").join(all_keys.alias("y"), ["band", "h"])
+            .where(F.col("x.doc_id") != F.col("y.doc_id"))
+            .select(F.least("x.doc_id", "y.doc_id").alias("a"),
+                    F.greatest("x.doc_id", "y.doc_id").alias("b"))
+            .distinct())
+    cand = cand.cache()
+    cand_ids = (cand.select(F.col("a").alias("doc_id"))
+                .unionByName(cand.select(F.col("b").alias("doc_id")))
+                .distinct())
+    texts = (corpus_docs.select("doc_id", text_col)
+             .unionByName(new_docs.select("doc_id", text_col)))
+    sh_cand = shingle_array(texts.join(cand_ids, "doc_id", "left_semi"),
+                            text_col)
+    return verify_jaccard(cand, sh_cand, threshold)
