@@ -174,3 +174,54 @@ def correlated_event_pairs(events: DataFrame,
     return (a.join(b, cond)
             .select("user_id", "err_ts", "err_value", "prior_ts",
                     "prior_type"))
+
+
+def incremental_dedup_stream(docs_stream: DataFrame, state_dir: str,
+                             sink_fn, text_col: str = "text",
+                             threshold: float = 0.8,
+                             checkpoint_dir: str | None = None):
+    """Streaming near-dup detection against an ACCUMULATING corpus: each
+    micro-batch of (doc_id, text) rows probes the persisted band-key
+    state (textdata.dedup.band_keys parquet, appended batch over batch),
+    emits every verified near-dup pair touching the batch via
+    ``sink_fn(pairs_df, batch_id)``, then appends its own keys + texts to
+    the state. This is the streaming form of the daily-crawl-delta dedup:
+    per batch, the corpus side contributes only an equi-join against its
+    key table plus a candidate-only text lookup — never a corpus rescan.
+
+    Replay semantics: the pair sink must be idempotent on batch_id (the
+    foreachBatch contract); a replayed state append leaves duplicate key
+    rows, which the candidate distinct absorbs (pairs are unaffected).
+    State grows with the corpus — 3 longs/doc/band plus the text store —
+    the honest cost of exact-threshold dedup against all history (the
+    watermarked ``deduplicated_document_stream`` is the bounded-state
+    alternative for exact dups only)."""
+    import os
+
+    from ..textdata.dedup import (band_keys, minhash_dup_pairs,
+                                  minhash_incremental_pairs_from_state,
+                                  minhash_signatures, shingle_array)
+
+    keys_path = os.path.join(state_dir, "band_keys")
+    texts_path = os.path.join(state_dir, "texts")
+
+    def run_batch(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", text_col)
+        have_state = os.path.isdir(keys_path)
+        if have_state:
+            pairs = minhash_incremental_pairs_from_state(
+                spark.read.parquet(keys_path),
+                spark.read.parquet(texts_path), batch, text_col, threshold)
+        else:
+            pairs = minhash_dup_pairs(batch, text_col, threshold)
+        sink_fn(pairs, batch_id)
+        new_keys = band_keys(minhash_signatures(
+            shingle_array(batch, text_col)))
+        new_keys.write.mode("append").parquet(keys_path)
+        batch.write.mode("append").parquet(texts_path)
+
+    writer = docs_stream.writeStream.foreachBatch(run_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -638,11 +638,29 @@ def minhash_incremental_pairs(corpus_docs: DataFrame, new_docs: DataFrame,
     re-shingled for the exact-Jaccard verify (semi-join prefilter,
     exactly like ``minhash_dup_pairs``). New-vs-new pairs inside the
     batch are included (the batch must also dedup against itself)."""
-    new_keys = band_keys(
-        minhash_signatures(shingle_array(new_docs, text_col), num_hashes),
-        bands, num_hashes)
     corpus_keys = band_keys(
         minhash_signatures(shingle_array(corpus_docs, text_col), num_hashes),
+        bands, num_hashes)
+    return minhash_incremental_pairs_from_state(
+        corpus_keys, corpus_docs.select("doc_id", text_col), new_docs,
+        text_col, threshold, num_hashes, bands)
+
+
+def minhash_incremental_pairs_from_state(corpus_keys: DataFrame,
+                                         corpus_texts: DataFrame,
+                                         new_docs: DataFrame,
+                                         text_col: str = "text",
+                                         threshold: float = 0.8,
+                                         num_hashes: int = DEFAULT_NUM_HASHES,
+                                         bands: int = DEFAULT_BANDS,
+                                         ) -> DataFrame:
+    """The state-table form: ``corpus_keys`` is the PERSISTED band-key
+    table (``band_keys`` output, appended batch over batch) and
+    ``corpus_texts`` a (doc_id, text) lookup consulted only for candidate
+    docs. Duplicate state rows (e.g. from a replayed micro-batch append)
+    are harmless: the candidate set is distinct'd."""
+    new_keys = band_keys(
+        minhash_signatures(shingle_array(new_docs, text_col), num_hashes),
         bands, num_hashes)
     all_keys = corpus_keys.unionByName(new_keys)
     cand = (new_keys.alias("x").join(all_keys.alias("y"), ["band", "h"])
@@ -654,7 +672,7 @@ def minhash_incremental_pairs(corpus_docs: DataFrame, new_docs: DataFrame,
     cand_ids = (cand.select(F.col("a").alias("doc_id"))
                 .unionByName(cand.select(F.col("b").alias("doc_id")))
                 .distinct())
-    texts = (corpus_docs.select("doc_id", text_col)
+    texts = (corpus_texts.select("doc_id", text_col)
              .unionByName(new_docs.select("doc_id", text_col)))
     sh_cand = shingle_array(texts.join(cand_ids, "doc_id", "left_semi"),
                             text_col)

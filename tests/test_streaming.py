@@ -200,3 +200,48 @@ class TestStreamingDedup:
         text = F.expr("concat_ws('', transform(filter(spans,"
                       " s -> s.kind = 'text'), s -> s.text))")
         assert got.select(F.md5(text.cast("binary"))).distinct().count() == 12
+
+
+class TestIncrementalDedupStream:
+    def test_union_of_batches_matches_full_corpus(self, spark, tmp_path):
+        from nobletools_spark.streaming.pipeline import (
+            incremental_dedup_stream)
+        from nobletools_spark.textdata.dedup import minhash_dup_pairs
+
+        docs = (spark.read.parquet(f"{SF}/documents.parquet")
+                .select("doc_id", "text"))
+        b1 = docs.where(F.col("doc_id") % 2 == 0)
+        b2 = docs.where(F.col("doc_id") % 2 == 1)
+        src = str(tmp_path / "isrc")
+        # one file per micro-batch (maxFilesPerTrigger=1)
+        b1.coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+        b2.coalesce(1).write.mode("append").parquet(src + "/f1")
+
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/f1"))
+        per_batch: dict[int, set] = {}
+
+        def sink(pairs_df, batch_id):
+            per_batch[batch_id] = {(r.a, r.b) for r in pairs_df.collect()}
+
+        q = incremental_dedup_stream(
+            stream, str(tmp_path / "istate"), sink,
+            checkpoint_dir=str(tmp_path / "ickpt"))
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination(180)
+
+        assert len(per_batch) >= 2          # really ran incrementally
+        got = set().union(*per_batch.values())
+        want = {(r.a, r.b) for r in
+                minhash_dup_pairs(docs, threshold=0.8).collect()}
+        assert got == want and len(want) > 0
+        # cross-batch pairs exist and are emitted by the LATER batch
+        later = set().union(*(v for k, v in per_batch.items() if k > 0))
+        cross = {p for p in want if (p[0] % 2) != (p[1] % 2)}
+        if cross:
+            assert cross <= later
+        # state accumulated both batches
+        n_state = spark.read.parquet(
+            str(tmp_path / "istate" / "texts")).count()
+        assert n_state == docs.count()
