@@ -148,3 +148,57 @@ class TestEmbeddingDupGroups:
             by_group.setdefault(r.group_id, []).append(r.vec_id)
         for gid, members in by_group.items():
             assert gid == min(members)
+
+
+class TestPackingProperties:
+    """Hypothesis properties over the pure greedy-walk semantics (no
+    Spark needed: _greedy is the documented contract, and
+    TestPackSequences pins the Spark implementation to it)."""
+
+    def test_greedy_invariants_random_token_lists(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(min_value=0, max_value=40),
+                        max_size=60),
+               st.integers(min_value=1, max_value=30))
+        def prop(tokens, budget):
+            seqs = _greedy(tokens, budget)
+            assert len(seqs) == len(tokens)
+            # seq ids are 0-based, contiguous, non-decreasing
+            assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+            if seqs:
+                assert seqs[0] == 0
+            # no sequence exceeds budget unless it is a single oversize doc
+            fill: dict[int, list[int]] = {}
+            for s, t in zip(seqs, tokens):
+                fill.setdefault(s, []).append(t)
+            for members in fill.values():
+                assert sum(members) <= budget or (
+                    len(members) >= 1 and max(members) > budget)
+            # docs never split, order preserved: concatenation identity
+            assert [t for s in sorted(fill) for t in fill[s]] == tokens
+
+        prop()
+
+
+class TestIncrementalStateReplay:
+    def test_duplicate_state_rows_do_not_change_pairs(self, spark):
+        # the replay-tolerance claim: a double-appended (replayed) state
+        # batch yields byte-identical pair output
+        from nobletools_spark.textdata.dedup import (
+            band_keys, minhash_incremental_pairs_from_state,
+            minhash_signatures, shingle_array)
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text")
+        corpus = docs.where(F.col("doc_id") % 2 == 0)
+        new = docs.where(F.col("doc_id") % 2 == 1)
+        keys = band_keys(minhash_signatures(shingle_array(corpus)))
+        once = {(r.a, r.b, round(r.jaccard, 4)) for r in
+                minhash_incremental_pairs_from_state(
+                    keys, corpus, new).collect()}
+        doubled = {(r.a, r.b, round(r.jaccard, 4)) for r in
+                   minhash_incremental_pairs_from_state(
+                       keys.unionByName(keys), corpus, new).collect()}
+        assert once == doubled and len(once) > 0
