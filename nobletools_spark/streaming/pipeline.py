@@ -191,31 +191,47 @@ def incremental_dedup_stream(docs_stream: DataFrame, state_dir: str,
 
     Replay semantics: the pair sink must be idempotent on batch_id (the
     foreachBatch contract); a replayed state append leaves duplicate key
-    rows, which the candidate distinct absorbs (pairs are unaffected).
+    AND text rows, both absorbed downstream (candidates are distinct'd,
+    the text lookup dedupes per doc_id) — pairs are unaffected.
     State grows with the corpus — 3 longs/doc/band plus the text store —
     the honest cost of exact-threshold dedup against all history (the
     watermarked ``deduplicated_document_stream`` is the bounded-state
     alternative for exact dups only)."""
-    import os
-
     from ..textdata.dedup import (band_keys, minhash_dup_pairs,
                                   minhash_incremental_pairs_from_state,
-                                  minhash_signatures, shingle_array)
+                                  minhash_signatures, release_cached_deps,
+                                  shingle_array)
 
-    keys_path = os.path.join(state_dir, "band_keys")
-    texts_path = os.path.join(state_dir, "texts")
+    keys_path = state_dir.rstrip("/") + "/band_keys"
+    texts_path = state_dir.rstrip("/") + "/texts"
+
+    def _read_state(spark, path):
+        """None when the state table does not exist yet. Probed through
+        the Spark reader (not os.path) so remote filesystems —
+        hdfs://, s3a:// — work: the state lives wherever the cluster's
+        default FS puts it, which a driver-local isdir can't see."""
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # AnalysisException: PATH_NOT_FOUND
+            return None
 
     def run_batch(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
         batch = batch_df.select("doc_id", text_col)
-        have_state = os.path.isdir(keys_path)
-        if have_state:
+        corpus_keys = _read_state(spark, keys_path)
+        if corpus_keys is not None:
             pairs = minhash_incremental_pairs_from_state(
-                spark.read.parquet(keys_path),
-                spark.read.parquet(texts_path), batch, text_col, threshold)
+                corpus_keys, spark.read.parquet(texts_path), batch,
+                text_col, threshold)
         else:
             pairs = minhash_dup_pairs(batch, text_col, threshold)
-        sink_fn(pairs, batch_id)
+        try:
+            sink_fn(pairs, batch_id)
+        finally:
+            # this runs once per micro-batch forever: the pipeline's
+            # internal caches must be released or executor storage
+            # accumulates one dead cache per batch
+            release_cached_deps(pairs)
         new_keys = band_keys(minhash_signatures(
             shingle_array(batch, text_col)))
         new_keys.write.mode("append").parquet(keys_path)

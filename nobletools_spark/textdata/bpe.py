@@ -86,13 +86,14 @@ def bpe_train(df: DataFrame, num_merges: int = 100,
     DISTINCT vocabulary, not corpus size — guarded by ``max_vocab_rows``
     (at the guard's default, the table is ~100 MB: broadcast-build scale,
     same budget argument as terminology/build.py's dictionary collect)."""
-    wc = word_counts(df, text_col)
-    n_vocab = wc.count()
-    if n_vocab > max_vocab_rows:
+    # one corpus pass: collect once, guard on the collected row count
+    # (a separate count() would re-run the corpus aggregation)
+    rows = word_counts(df, text_col).collect()
+    if len(rows) > max_vocab_rows:
         raise ValueError(
-            f"bpe_train: {n_vocab} distinct words exceeds max_vocab_rows="
+            f"bpe_train: {len(rows)} distinct words exceeds max_vocab_rows="
             f"{max_vocab_rows}; raise the guard or pre-filter the corpus")
-    table = [(list(r.word) + [END], r.n) for r in wc.collect()]
+    table = [(list(r.word) + [END], r.n) for r in rows]
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -137,12 +138,20 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
         return seq
 
     def gen(batches):
+        # word->tokens memo shared across the task's batches: word
+        # frequency is Zipfian, so re-running the merge loop per
+        # occurrence would redo ~all the work; the memo is vocab-bounded
+        # (the same argument as bpe_train's collected word table)
+        memo: dict[str, list[str]] = {}
         for pdf in batches:
             toks = []
             for t in pdf[text_col]:
                 out: list[str] = []
                 for w in (t or "").lower().split():
-                    out.extend(enc_word(w))
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = memo[w] = enc_word(w)
+                    out.extend(enc)
                 toks.append(out)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "tokens": toks})
 

@@ -98,28 +98,7 @@ def lsh_candidate_pairs(signatures: DataFrame,
     (no driver-side probe job). The window min is computed per
     (band, hash) partition — one shuffle keyed on the band hash."""
     from pyspark.sql.window import Window
-    rows = num_hashes // bands
-    # element_at past the array end yields NULL (non-ANSI) which would
-    # silently collapse a band into one constant bucket — fail loudly if
-    # the caller's num_hashes disagrees with the signature stage's
-    len_ok = F.assert_true(
-        F.size("sig") == num_hashes,
-        F.concat(F.lit("lsh_candidate_pairs: size(sig) != num_hashes="),
-                 F.lit(str(num_hashes)), F.lit(" for doc "), F.col("doc_id")))
-
-    def _band_hash(b: int):
-        h = F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
-                         for r in range(rows)])
-        # fold the assertion into band 0 so column pruning can't drop it
-        return F.when(len_ok.isNull(), h) if b == 0 else h
-
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), _band_hash(b).alias("h"))
-        for b in range(bands)
-    ]
-    exploded = (signatures
-                .select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
-                .select("doc_id", "bk.band", "bk.h"))
+    exploded = band_keys(signatures, bands, num_hashes)
     w = Window.partitionBy("band", "h")
     # NB deliberately no distinct(): the same (a, b) star edge may fall
     # out of several bands, but downstream consumers (components,
@@ -166,6 +145,7 @@ def candidate_components(pairs: DataFrame, max_rounds: int = 15,
         rows = [(v, find(v)) for v in parent]
         spark = pairs.sparkSession
         schema = pairs.schema
+        pairs.unpersist()  # fully consumed by count + collect above
         return spark.createDataFrame(
             rows, ST.StructType([
                 ST.StructField("doc_id", schema["a"].dataType, False),
@@ -200,6 +180,7 @@ def candidate_components(pairs: DataFrame, max_rounds: int = 15,
             f"candidate_components: min-label propagation still changing "
             f"after {max_rounds} rounds; labels may split one component "
             f"into several (raise max_rounds)", RuntimeWarning)
+    pairs.unpersist()  # consumed by the eager localCheckpoint of `und`
     return labels.select(F.col("x").alias("doc_id"), "comp")
 
 
@@ -285,7 +266,9 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     # corpus-wide shingle pass entirely
     cand_docs = df.join(cand_ids, "doc_id", "left_semi")
     sh_cand = shingle_array(cand_docs, text_col)
-    return verify_jaccard(cand, sh_cand, threshold)
+    out = verify_jaccard(cand, sh_cand, threshold)
+    out._cached_deps = [cand]  # released via release_cached_deps
+    return out
 
 
 def minhash_dup_groups(df: DataFrame, text_col: str = "text",
@@ -598,11 +581,15 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
 def band_keys(signatures: DataFrame, bands: int = DEFAULT_BANDS,
               num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
     """-> (doc_id, band, h): the banded LSH bucket keys — the PERSISTED
-    STATE of incremental dedup. At corpus scale this table is written
-    once (k/bands hashes folded per band, 3 longs per row), partitioned/
-    bucketed by (band, h); a daily delta probes it with an equi-join that
-    shuffles only the delta."""
+    STATE of incremental dedup, and the banding stage
+    ``lsh_candidate_pairs`` builds on. At corpus scale this table is
+    written once (k/bands hashes folded per band, 3 longs per row),
+    partitioned/bucketed by (band, h); a daily delta probes it with an
+    equi-join that shuffles only the delta."""
     rows = num_hashes // bands
+    # element_at past the array end yields NULL (non-ANSI) which would
+    # silently collapse a band into one constant bucket — fail loudly if
+    # the caller's num_hashes disagrees with the signature stage's
     len_ok = F.assert_true(
         F.size("sig") == num_hashes,
         F.concat(F.lit("band_keys: size(sig) != num_hashes="),
@@ -611,6 +598,7 @@ def band_keys(signatures: DataFrame, bands: int = DEFAULT_BANDS,
     def _band_hash(b: int):
         h = F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
                          for r in range(rows)])
+        # fold the assertion into band 0 so column pruning can't drop it
         return F.when(len_ok.isNull(), h) if b == 0 else h
 
     cols = [F.struct(F.lit(b).alias("band"), _band_hash(b).alias("h"))
@@ -658,7 +646,13 @@ def minhash_incremental_pairs_from_state(corpus_keys: DataFrame,
     table (``band_keys`` output, appended batch over batch) and
     ``corpus_texts`` a (doc_id, text) lookup consulted only for candidate
     docs. Duplicate state rows (e.g. from a replayed micro-batch append)
-    are harmless: the candidate set is distinct'd."""
+    are harmless: the candidate set is distinct'd and the text lookup is
+    deduped per doc_id before the verify join (a duplicated text row
+    would otherwise multiply every pair touching that doc).
+
+    The returned DataFrame carries its internally-cached dependency on
+    ``_cached_deps`` so long-lived callers (the streaming wrapper) can
+    unpersist after the batch's action — see ``release_cached_deps``."""
     new_keys = band_keys(
         minhash_signatures(shingle_array(new_docs, text_col), num_hashes),
         bands, num_hashes)
@@ -673,7 +667,20 @@ def minhash_incremental_pairs_from_state(corpus_keys: DataFrame,
                 .unionByName(cand.select(F.col("b").alias("doc_id")))
                 .distinct())
     texts = (corpus_texts.select("doc_id", text_col)
-             .unionByName(new_docs.select("doc_id", text_col)))
+             .unionByName(new_docs.select("doc_id", text_col))
+             .dropDuplicates(["doc_id"]))
     sh_cand = shingle_array(texts.join(cand_ids, "doc_id", "left_semi"),
                             text_col)
-    return verify_jaccard(cand, sh_cand, threshold)
+    out = verify_jaccard(cand, sh_cand, threshold)
+    out._cached_deps = [cand]  # type: ignore[attr-defined]
+    return out
+
+
+def release_cached_deps(df: DataFrame) -> None:
+    """Unpersist the internal caches a dedup pipeline attached to its
+    output (``_cached_deps``). Call after the output's action has run;
+    batch callers can ignore this (session teardown reclaims the cache),
+    but per-micro-batch callers MUST release or executor storage
+    accumulates one dead cache per batch."""
+    for dep in getattr(df, "_cached_deps", []):
+        dep.unpersist()

@@ -31,6 +31,20 @@ def md5_bucket(col: Column, n: int) -> Column:
             .cast("long") % n)
 
 
+def _keep_expr(rates: dict[str, float], strata_col: str, id_col: str,
+               default_rate: float, denom: int) -> Column:
+    """The shared keep-rule: md5_bucket(id, denom) < round(rate * denom).
+    Rounded (not truncated) before the integer compare so Spark agrees
+    with SQL engines whose CAST rounds (rate*denom like 0.57*10000 is
+    5699.999... in float64 — truncation would drop one bucket)."""
+    bucket = md5_bucket(F.col(id_col), denom)
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))) \
+                .otherwise(rate)
+    return bucket < F.round(rate * denom).cast("long")
+
+
 def stratified_sample(df: DataFrame, rates: dict[str, float],
                       strata_col: str = "lang",
                       id_col: str = "doc_id",
@@ -44,26 +58,21 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
 
     Models the domain-mixing step of an LLM data pipeline (e.g. keep 25%
     of crawl, 100% of curated sources). Map-side only: no shuffle."""
-    bucket = md5_bucket(F.col(id_col), denom)
-    rate = F.lit(float(default_rate))
-    for k, v in sorted(rates.items()):
-        rate = F.when(F.col(strata_col) == k, F.lit(float(v))) \
-                .otherwise(rate)
-    return df.where(bucket < (rate * denom).cast("long"))
+    return df.where(_keep_expr(rates, strata_col, id_col,
+                               default_rate, denom))
 
 
 def mix_report(df: DataFrame, rates: dict[str, float],
                strata_col: str = "lang", id_col: str = "doc_id",
-               default_rate: float = 1.0) -> DataFrame:
+               default_rate: float = 1.0,
+               denom: int = 10_000) -> DataFrame:
     """-> (stratum, n_total, n_kept, kept_ratio): the observable mixture
     the sample actually achieves, one aggregation pass (partial map-side).
-    Dropped coverage must be visible, not silent."""
-    bucket = md5_bucket(F.col(id_col), 10_000)
-    rate = F.lit(float(default_rate))
-    for k, v in sorted(rates.items()):
-        rate = F.when(F.col(strata_col) == k, F.lit(float(v))) \
-                .otherwise(rate)
-    kept = (bucket < (rate * 10_000).cast("long")).cast("long")
+    Dropped coverage must be visible, not silent. Uses the SAME keep rule
+    as ``stratified_sample`` (shared expression, shared ``denom``) so the
+    report describes the actual sample."""
+    kept = _keep_expr(rates, strata_col, id_col,
+                      default_rate, denom).cast("long")
     return (df.groupBy(F.col(strata_col).alias("stratum"))
             .agg(F.count(F.lit(1)).alias("n_total"),
                  F.sum(kept).alias("n_kept"),
@@ -94,11 +103,14 @@ def pack_sequences(df: DataFrame, budget: int = 512,
     because "current fill level" is an order-carried dependency."""
     import pandas as pd
 
+    # NULL text must count as 0 tokens (not NULL): a NULL would reach the
+    # pandas walk as NaN, poisoning the accumulator and the long schema
     ws = F.when(F.length(F.trim(text_col)) == 0, 0) \
           .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
     base = df.select(F.col(id_col).alias("doc_id"),
                      md5_bucket(F.col(id_col), n_buckets).alias("bucket"),
-                     ws.cast("long").alias("ws_tokens"))
+                     F.coalesce(ws, F.lit(0)).cast("long")
+                     .alias("ws_tokens"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

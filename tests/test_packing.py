@@ -62,6 +62,17 @@ class TestPackSequences:
         for r in rep:
             assert r.tokens <= 512 or r.oversize
 
+    def test_null_text_counts_zero_tokens(self, spark):
+        # NULL text must behave exactly like empty text (0 tokens, same
+        # sequence), not poison the walk with NaN
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, None), (3, "c d e")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.seq, r.ws_tokens) for r in
+               P.pack_sequences(df, budget=5, n_buckets=1).collect()}
+        assert got[2] == (0, 0)
+        assert got == {1: (0, 2), 2: (0, 0), 3: (0, 3)}
+
     def test_partitioning_invariance(self, spark):
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         a = sorted(map(tuple, P.pack_sequences(docs, 512, 8).collect()))
@@ -195,10 +206,14 @@ class TestIncrementalStateReplay:
         corpus = docs.where(F.col("doc_id") % 2 == 0)
         new = docs.where(F.col("doc_id") % 2 == 1)
         keys = band_keys(minhash_signatures(shingle_array(corpus)))
-        once = {(r.a, r.b, round(r.jaccard, 4)) for r in
-                minhash_incremental_pairs_from_state(
-                    keys, corpus, new).collect()}
-        doubled = {(r.a, r.b, round(r.jaccard, 4)) for r in
-                   minhash_incremental_pairs_from_state(
-                       keys.unionByName(keys), corpus, new).collect()}
+        once = sorted((r.a, r.b, round(r.jaccard, 4)) for r in
+                      minhash_incremental_pairs_from_state(
+                          keys, corpus, new).collect())
+        # replay duplicates BOTH state tables (keys and texts); pair
+        # output must be identical INCLUDING multiplicities (a duplicated
+        # text row would multiply pairs through the verify join)
+        doubled = sorted((r.a, r.b, round(r.jaccard, 4)) for r in
+                         minhash_incremental_pairs_from_state(
+                             keys.unionByName(keys),
+                             corpus.unionByName(corpus), new).collect())
         assert once == doubled and len(once) > 0
