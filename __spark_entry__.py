@@ -188,7 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "substring_dup_spans", "embedding_dup_groups",
               "datamix_stratified_sample", "datamix_report",
               "pack_sequences_budget", "bpe_pair_counts",
-              "minhash_incremental_pairs")
+              "minhash_incremental_pairs", "tfidf_top_terms",
+              "bigram_lm_scores")
     out = {n: f for n, f in all_q.items()
            if n in with_oracle and n not in demote}
     out.update({n: f for n, f in all_q.items()

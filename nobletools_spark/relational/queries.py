@@ -1571,3 +1571,64 @@ def minhash_incremental_pairs(spark, sf):
     return (impl(corpus, new, threshold=0.8)
             .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
             .orderBy("a", "b"))
+
+
+@_q("tfidf_top_terms", """
+WITH t AS (SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                        '\\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+n AS (SELECT count(*) AS _n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * ln(_n * 1.0 / df), 4) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored)
+SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 5
+ORDER BY doc_id, term
+""")
+def tfidf_top_terms(spark, sf):
+    # keyword extraction: top-5 TF-IDF terms per doc. The rank key is the
+    # ROUNDED score (then term) so cross-engine last-ulp ln() differences
+    # cannot flip the top-k; corpus scalars ride the plan via single-row
+    # cross joins (no driver action).
+    from ..textdata.relevance import tfidf_top_terms as impl
+    d = load(spark, sf, "documents")
+    return impl(d, top_k=5).orderBy("doc_id", "term")
+
+
+@_q("bigram_lm_scores", """
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              t -> t <> '') AS l
+           FROM documents),
+db AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+       FROM (SELECT doc_id, l,
+                    unnest(CASE WHEN len(l) >= 2 THEN range(1, len(l))
+                                ELSE []::BIGINT[] END) AS i
+             FROM d)),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2),
+uc AS (SELECT t AS w1, count(*) AS c1
+       FROM (SELECT unnest(l) AS t FROM d) GROUP BY t),
+v AS (SELECT count(DISTINCT t) AS _v
+      FROM (SELECT unnest(l) AS t FROM d))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((c12 + 1.0) / (c1 + 1.0 * _v))), 4) AS avg_logprob
+FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id
+""")
+def bigram_lm_scores(spark, sf):
+    # CCNet-style LM-perplexity quality signal: average bigram logprob
+    # under an add-1-smoothed bigram model trained on the corpus itself.
+    # One plan: corpus statistics (bigram/unigram counts, vocab size)
+    # partial-aggregate map-side, then each doc's bigrams join back.
+    from ..textdata.relevance import bigram_lm_scores as impl
+    d = load(spark, sf, "documents")
+    return impl(d, k=1.0).orderBy("doc_id")

@@ -142,3 +142,16 @@ class TestTrainingDataAssemblyPlans:
         plan = plan_of(embedding_dup_groups(e, threshold=0.4, dim=64))
         assert "CartesianProduct" not in plan
         assert "collect_list" not in plan
+
+    def test_relevance_ops_stay_jvm_side(self, spark):
+        # corpus-statistics ops: no Python in the plan, aggregations
+        # partial-aggregate map-side, corpus scalars ride broadcast joins
+        from nobletools_spark.textdata.relevance import (bigram_lm_scores,
+                                                         tfidf_top_terms)
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        for op in (tfidf_top_terms, bigram_lm_scores):
+            plan = plan_of(op(d))
+            assert "InPandas" not in plan and "BatchEvalPython" not in plan
+            # the single-row scalar cross joins must plan as broadcast
+            # nested-loop of 1 row, never a real CartesianProduct
+            assert "CartesianProduct" not in plan
