@@ -189,7 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "datamix_stratified_sample", "datamix_report",
               "pack_sequences_budget", "bpe_pair_counts",
               "minhash_incremental_pairs", "tfidf_top_terms",
-              "bigram_lm_scores")
+              "bigram_lm_scores", "decontamination_pairs")
     out = {n: f for n, f in all_q.items()
            if n in with_oracle and n not in demote}
     out.update({n: f for n, f in all_q.items()

@@ -1632,3 +1632,38 @@ def bigram_lm_scores(spark, sf):
     from ..textdata.relevance import bigram_lm_scores as impl
     d = load(spark, sf, "documents")
     return impl(d, k=1.0).orderBy("doc_id")
+
+
+@_q("decontamination_pairs", f"""
+WITH {_JACCARD_PAIRS_CTE},
+delta AS (
+  SELECT doc_id FROM documents
+  WHERE list_reduce(list_transform(
+          string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+          (a, b) -> a * 16 + b) % 5 = 0)
+SELECT CASE WHEN p.a IN (SELECT doc_id FROM delta) THEN p.b ELSE p.a END
+         AS a_id,
+       CASE WHEN p.a IN (SELECT doc_id FROM delta) THEN p.a ELSE p.b END
+         AS b_id,
+       round(i*1.0/(za.n+zb.n-i), 4) AS jaccard
+FROM p JOIN z za ON p.a = za.doc_id JOIN z zb ON p.b = zb.doc_id
+WHERE i*1.0/(za.n+zb.n-i) >= 0.8
+  AND ((p.a IN (SELECT doc_id FROM delta))
+       <> (p.b IN (SELECT doc_id FROM delta)))
+ORDER BY a_id, b_id
+""")
+def decontamination_pairs(spark, sf):
+    # train-test decontamination: the md5-selected ~20% slice plays the
+    # benchmark set, the rest the training corpus; output is every
+    # verified CROSS-corpus near-dup pair (never within either side).
+    # Oracle: exact Jaccard pairs with exactly one side in the slice,
+    # reprojected so a_id is always the training doc.
+    from ..textdata.dedup import cross_corpus_pairs
+    from ..textdata.packing import md5_bucket
+    d = _spread(spark, load(spark, sf, "documents"))
+    is_test = md5_bucket(F.col("doc_id"), 5) == 0
+    return (cross_corpus_pairs(d.where(~is_test), d.where(is_test),
+                               threshold=0.8)
+            .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("a_id", "b_id"))

@@ -684,3 +684,57 @@ def release_cached_deps(df: DataFrame) -> None:
     accumulates one dead cache per batch."""
     for dep in getattr(df, "_cached_deps", []):
         dep.unpersist()
+
+
+def cross_corpus_pairs(a_docs: DataFrame, b_docs: DataFrame,
+                       text_col: str = "text", threshold: float = 0.8,
+                       num_hashes: int = DEFAULT_NUM_HASHES,
+                       bands: int = DEFAULT_BANDS) -> DataFrame:
+    """-> (a_id, b_id, jaccard): verified near-dup pairs BETWEEN two
+    corpora (never within either) — the train-test decontamination
+    primitive. The b side (typically a benchmark/eval set, tiny next to
+    the training corpus) is banded and equi-joined against the a side's
+    keys; AQE broadcasts the small side, so the big corpus never
+    shuffles on anything but its own map-side key emission. Verify
+    re-shingles candidate docs only, as everywhere else."""
+    a_keys = band_keys(
+        minhash_signatures(shingle_array(a_docs, text_col), num_hashes),
+        bands, num_hashes).withColumnRenamed("doc_id", "a_id")
+    b_keys = band_keys(
+        minhash_signatures(shingle_array(b_docs, text_col), num_hashes),
+        bands, num_hashes).withColumnRenamed("doc_id", "b_id")
+    cand = (a_keys.join(b_keys, ["band", "h"])
+            .select("a_id", "b_id").distinct())
+    cand = cand.cache()
+    sh_a = shingle_array(
+        a_docs.join(cand.select(F.col("a_id").alias("doc_id")).distinct(),
+                    "doc_id", "left_semi"), text_col) \
+        .select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("_sa"))
+    sh_b = shingle_array(
+        b_docs.join(cand.select(F.col("b_id").alias("doc_id")).distinct(),
+                    "doc_id", "left_semi"), text_col) \
+        .select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = (F.size("_sa") + F.size("_sb")
+             - F.size(F.array_intersect("_sa", "_sb"))).cast("double")
+    out = (cand.join(sh_a, "a_id").join(sh_b, "b_id")
+           .select("a_id", "b_id",
+                   F.when(union > 0, inter / union).otherwise(0.0)
+                   .alias("jaccard"))
+           .where(F.col("jaccard") >= threshold))
+    out._cached_deps = [cand]  # released via release_cached_deps
+    return out
+
+
+def decontaminate(train_docs: DataFrame, test_docs: DataFrame,
+                  text_col: str = "text",
+                  threshold: float = 0.8) -> dict[str, DataFrame]:
+    """Benchmark decontamination: drop every training document that
+    near-dups a test/eval document. -> {"clean": train minus
+    contaminated, "contaminated": (a_id, b_id, jaccard) evidence pairs}.
+    The evidence surface is returned, not just the filtered corpus —
+    dropped coverage must be visible, not silent."""
+    pairs = cross_corpus_pairs(train_docs, test_docs, text_col, threshold)
+    hits = pairs.select(F.col("a_id").alias("doc_id")).distinct()
+    return {"clean": train_docs.join(hits, "doc_id", "left_anti"),
+            "contaminated": pairs}

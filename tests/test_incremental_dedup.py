@@ -57,3 +57,43 @@ class TestIncrementalPairs:
         per_doc = (keys.groupBy("doc_id").count().select("count")
                    .distinct().collect())
         assert [r["count"] for r in per_doc] == [D.DEFAULT_BANDS]
+
+
+class TestDecontamination:
+    def test_clean_plus_contaminated_partitions_train(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        train = spark.createDataFrame(
+            [(1, base),                       # leaks a test doc
+             (2, base + " extra"),            # near-dups it too
+             (3, "unrelated corpus text about completely other things"),
+             (4, "more safe training content with no overlap at all")],
+            "doc_id long, text string")
+        test = spark.createDataFrame(
+            [(100, base), (101, "benchmark question nothing like train")],
+            "doc_id long, text string")
+        from nobletools_spark.textdata.dedup import decontaminate
+        out = decontaminate(train, test, threshold=0.5)
+        pairs = {(r.a_id, r.b_id) for r in out["contaminated"].collect()}
+        clean = {r.doc_id for r in out["clean"].collect()}
+        assert (1, 100) in pairs and (2, 100) in pairs
+        # a_id is always the train doc; within-corpus pairs never appear
+        assert all(a in {1, 2, 3, 4} and b in {100, 101} for a, b in pairs)
+        assert clean == {3, 4}
+
+    def test_matches_exact_cross_pairs_on_testdata(self, spark, docs):
+        from nobletools_spark.textdata.dedup import (cross_corpus_pairs,
+                                                     minhash_dup_pairs)
+        from nobletools_spark.textdata.packing import md5_bucket
+        from pyspark.sql import functions as F
+        is_test = md5_bucket(F.col("doc_id"), 5) == 0
+        test_ids = {r.doc_id for r in
+                    docs.where(is_test).select("doc_id").collect()}
+        got = {(r.a_id, r.b_id) for r in
+               cross_corpus_pairs(docs.where(~is_test), docs.where(is_test),
+                                  threshold=0.8).collect()}
+        full = {(b, a) if a in test_ids else (a, b)
+                for a, b in ((r.a, r.b) for r in
+                             minhash_dup_pairs(docs,
+                                               threshold=0.8).collect())
+                if (a in test_ids) != (b in test_ids)}
+        assert got == full
