@@ -245,3 +245,49 @@ class TestIncrementalDedupStream:
         n_state = spark.read.parquet(
             str(tmp_path / "istate" / "texts")).count()
         assert n_state == docs.count()
+
+
+class TestIncrementalDedupRestart:
+    def test_restart_from_checkpoint_processes_only_new_files(
+            self, spark, tmp_path):
+        # north-rule resumability on the streaming surface: a stopped
+        # query restarted with the same checkpoint must not reprocess
+        # (or re-append state for) batches it already committed
+        from nobletools_spark.streaming.pipeline import (
+            incremental_dedup_stream)
+        docs = (spark.read.parquet(f"{SF}/documents.parquet")
+                .select("doc_id", "text"))
+        b1 = docs.where(F.col("doc_id") < 100)
+        b2 = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+        src = str(tmp_path / "rsrc")
+        b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+        seen: list[int] = []
+
+        def sink(pairs_df, batch_id):
+            pairs_df.count()
+            seen.append(batch_id)
+
+        def start():
+            stream = (spark.readStream.schema("doc_id long, text string")
+                      .option("maxFilesPerTrigger", "1").parquet(src))
+            q = incremental_dedup_stream(
+                stream, str(tmp_path / "rstate"), sink,
+                checkpoint_dir=str(tmp_path / "rckpt"))
+            sq = q.trigger(availableNow=True).start()
+            sq.awaitTermination(180)
+
+        start()                      # run 1: processes b1
+        n_after_1 = len(seen)
+        assert n_after_1 >= 1
+        state_1 = spark.read.parquet(
+            str(tmp_path / "rstate" / "texts")).count()
+        assert state_1 == b1.count()
+
+        b2.coalesce(1).write.mode("append").parquet(src)
+        start()                      # run 2: must process ONLY b2
+        assert len(seen) == n_after_1 + 1
+        state_2 = spark.read.parquet(
+            str(tmp_path / "rstate" / "texts")).count()
+        # b1 was NOT re-appended on restart
+        assert state_2 == b1.count() + b2.count()
