@@ -487,15 +487,23 @@ def embedding_lsh_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                                    for r in range(per_band)]).alias("key"))
         for b in range(bands)
     ]
-    ex = (u.select("id", "v", F.explode(F.array(*band_cols)).alias("bk"))
-          .select("id", "v", "bk.band", "bk.key"))
+    # candidates carry IDS ONLY through the per-bucket self-join and the
+    # dedup: dragging both dim-length vectors through the distinct
+    # shuffles ~16*dim bytes per duplicate candidate row (measured 4x the
+    # whole pipeline at sf0.1's bucket occupancy); the vectors re-attach
+    # AFTER dedup via two joins against the (tiny, often broadcast)
+    # normalized-vector table
+    ex = (u.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+          .select("id", "bk.band", "bk.key"))
     cand = (ex.alias("x").join(ex.alias("y"), ["band", "key"])
             .where(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
-                    F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
             .distinct())
+    va = u.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = u.select(F.col("id").alias("b"), F.col("v").alias("vb"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
-    return (cand.select("a", "b", F.round(cos, 4).alias("cosine"))
+    return (cand.join(va, "a").join(vb, "b")
+            .select("a", "b", F.round(cos, 4).alias("cosine"))
             .where(F.col("cosine") >= threshold))
 
 
@@ -542,16 +550,19 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
          itself.
     """
     from pyspark.sql.window import Window
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    # materialize the token array before the gram transform references
+    # it: higher-order functions evaluate interpreted, so an inlined
+    # split expression would re-tokenize per element_at reference
+    base = df.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
            .otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.struct(
         i.alias("pos"),
         F.substring(F.md5(F.concat_ws(" ", *[
-            F.element_at(toks, i + j) for j in range(k)])), 1, 16)
+            F.element_at("_toks", i + j) for j in range(k)])), 1, 16)
         .alias("gh")))
-    g = (df.select("doc_id", F.explode(grams).alias("g"))
+    g = (base.select("doc_id", F.explode(grams).alias("g"))
          .select("doc_id", F.col("g.pos").alias("pos"),
                  F.col("g.gh").alias("gh")))
     wg = Window.partitionBy("gh")
