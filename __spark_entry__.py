@@ -4,9 +4,9 @@
 ``queries()`` exposes the relational operator surface (SURVEY.md §2.J), the
 training-data-pipeline operators, and the KG pipeline stages; each callable
 takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()`` supplies the
-DuckDB-equivalent SQL for every SQL-expressible query; KG/NLP queries whose
-semantics live in the matcher UDFs are rows-only checked (their real
-correctness gate is the pytest golden/round-trip suite in tests/).
+DuckDB-equivalent SQL for EVERY query (68/68) — the KG/NLP queries are
+oracled by relational/kg_oracle.py's full SQL re-derivation of the
+best-match pipeline, on top of the pytest golden/round-trip suites.
 """
 
 from __future__ import annotations
@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return out["triples"]
 
 
-# ------------------------------ KG pipeline queries (rows-only checks) ----
+# ------------------------------ KG pipeline queries ----------------------
 
 def _kg_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(_load_documents(spark, sf_dir))
@@ -173,7 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_instances": _kg_instances,
     })
     with_oracle = set(oracle_sql())
-    # ALL 56 queries are oracle-backed but the driver checks only the
+    # ALL 68 queries are oracle-backed but the driver checks only the
     # first 50: demote the six most trivial relational queries (their
     # semantics are also pinned by pytest) so the KG-pipeline and
     # LLM-data-pipeline oracles all land inside the window; the demoted
