@@ -29,7 +29,34 @@ from nobletools_spark.terminology.dataeng import dataeng_dictionary
 _dico = dataeng_dictionary
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``nobletools_spark`` importable on executor Python workers
+    regardless of the driver's cwd — the self-applied form of
+    ``spark-submit --py-files`` (scripts/package_pyfiles.py builds the
+    same artifact for real cluster submission). Without this, a driver
+    launched outside the repo dir fails in the first mapInPandas stage
+    with ModuleNotFoundError: workers inherit the driver's cwd, not its
+    sys.path. Memoized per SparkContext; addPyFile is a no-op dependency
+    for JVM-only queries."""
+    sc = spark.sparkContext
+    if getattr(sc, "_nobletools_pyfiles", False):
+        return
+    import os
+    import sys as _sys
+    root = os.path.dirname(os.path.abspath(__file__))
+    _sys.path.insert(0, os.path.join(root, "scripts"))
+    from package_pyfiles import build
+    import tempfile
+    out = os.path.join(tempfile.gettempdir(),
+                       f"nobletools_spark_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(out):
+        build(out)
+    sc.addPyFile(out)
+    sc._nobletools_pyfiles = True
+
+
 def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return interleave_flat_documents(flat)
 
@@ -190,11 +217,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "pack_sequences_budget", "bpe_pair_counts",
               "minhash_incremental_pairs", "tfidf_top_terms",
               "bigram_lm_scores", "decontamination_pairs")
-    out = {n: f for n, f in all_q.items()
+    def _shipped(fn):
+        # every query may reach a pandas UDF whose closure imports the
+        # package on executor workers — ship it regardless of driver cwd
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    out = {n: _shipped(f) for n, f in all_q.items()
            if n in with_oracle and n not in demote}
-    out.update({n: f for n, f in all_q.items()
+    out.update({n: _shipped(f) for n, f in all_q.items()
                 if n in with_oracle and n in demote})
-    out.update({n: f for n, f in all_q.items() if n not in with_oracle})
+    out.update({n: _shipped(f) for n, f in all_q.items()
+                if n not in with_oracle})
     return out
 
 
