@@ -181,9 +181,11 @@ def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Oracle-backed queries FIRST: the driver evaluates the first 50 entries
-    of this dict, so every query with an ``oracle_sql()`` entry must land in
-    that window; rows-only queries trail."""
+    """Driver-window ordering: the driver evaluates the first 50 entries of
+    this dict. All 68 queries are oracle-backed; the 18 that cannot fit are
+    explicitly demoted below (each already has >=2 green driver rounds) and
+    stay covered by scripts/oracle_check.py under identical harness
+    semantics."""
     all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: qd.spark for name, qd in QUERIES.items()
     }
@@ -201,22 +203,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     })
     with_oracle = set(oracle_sql())
     # ALL 68 queries are oracle-backed but the driver checks only the
-    # first 50: demote the six most trivial relational queries (their
-    # semantics are also pinned by pytest) so the KG-pipeline and
-    # LLM-data-pipeline oracles all land inside the window; the demoted
-    # six stay green under the same harness via scripts/oracle_check.py.
-    demote = ("values_inline_union", "case_math_functions",
-              "distinct_counts", "string_functions", "date_functions",
-              "set_ops_customer_tiers",
-              # r3 additions land beyond the window too (keeping the
-              # driver-validated 50 stable); same harness covers them
-              # via scripts/oracle_check.py + pytest
-              "gopher_repetition_stats", "c4_quality_filters",
-              "substring_dup_spans", "embedding_dup_groups",
-              "datamix_stratified_sample", "datamix_report",
-              "pack_sequences_budget", "bpe_pair_counts",
-              "minhash_incremental_pairs", "tfidf_top_terms",
-              "bigram_lm_scores", "decontamination_pairs")
+    # first 50. Round-4 window ROTATION (VERDICT r3 #2): the 18 entries
+    # below are long-green relational queries, each with >=2 green rows
+    # in CORRECTNESS_r01/r02/r03 AND pytest-pinned semantics; demoting
+    # them pulls every previously-unchecked query — the 12 r3
+    # LLM-pipeline ops plus the 6 r2-demoted trivial ones — inside the
+    # driver-validated window, so after r4 every oracle-backed query has
+    # at least one driver-validated CORRECTNESS row. The demoted 18 stay
+    # green under the same harness via scripts/oracle_check.py.
+    demote = ("scan_filter_project", "agg_pricing_summary",
+              "rollup_status_priority", "cube_nation_segment",
+              "grouping_sets_revenue", "join_revenue_by_nation",
+              "semi_join_active_customers", "anti_join_idle_customers",
+              "broadcast_join_part_supplier",
+              "window_top_orders_per_customer",
+              "window_running_user_value", "topk_expensive_lineitems",
+              "pivot_status_by_segment", "exists_subquery_returned_parts",
+              "lateral_explode_join", "levenshtein_name_type",
+              "extract_event_props", "grouped_agg_pandas_udaf")
     def _shipped(fn):
         # every query may reach a pandas UDF whose closure imports the
         # package on executor workers — ship it regardless of driver cwd

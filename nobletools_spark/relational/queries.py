@@ -1487,7 +1487,7 @@ WITH RECURSIVE base AS (
            string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
            (a, b) -> a * 16 + b) % 16 AS bucket,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
   FROM documents),
 d AS (SELECT doc_id, bucket, tok,

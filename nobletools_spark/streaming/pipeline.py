@@ -197,10 +197,11 @@ def incremental_dedup_stream(docs_stream: DataFrame, state_dir: str,
     the honest cost of exact-threshold dedup against all history (the
     watermarked ``deduplicated_document_stream`` is the bounded-state
     alternative for exact dups only)."""
-    from ..textdata.dedup import (band_keys, minhash_dup_pairs,
+    from pyspark.errors import AnalysisException
+
+    from ..textdata.dedup import (band_keys, cache_scope, minhash_dup_pairs,
                                   minhash_incremental_pairs_from_state,
-                                  minhash_signatures, release_cached_deps,
-                                  shingle_array)
+                                  minhash_signatures, shingle_array)
 
     keys_path = state_dir.rstrip("/") + "/band_keys"
     texts_path = state_dir.rstrip("/") + "/texts"
@@ -209,35 +210,55 @@ def incremental_dedup_stream(docs_stream: DataFrame, state_dir: str,
         """None when the state table does not exist yet. Probed through
         the Spark reader (not os.path) so remote filesystems —
         hdfs://, s3a:// — work: the state lives wherever the cluster's
-        default FS puts it, which a driver-local isdir can't see."""
+        default FS puts it, which a driver-local isdir can't see.
+        ONLY path-not-found maps to None: a transient read failure
+        (FS hiccup, permissions, corrupt footer) must abort the batch —
+        swallowing it would silently dedup the batch against itself
+        only, and the miss would be permanent once its keys append."""
         try:
             return spark.read.parquet(path)
-        except Exception:  # AnalysisException: PATH_NOT_FOUND
-            return None
+        except AnalysisException as e:
+            cond = (e.getCondition() if hasattr(e, "getCondition")
+                    else getattr(e, "getErrorClass", lambda: None)())
+            if cond and "PATH_NOT_FOUND" in cond:
+                return None
+            raise
 
     def run_batch(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
         batch = batch_df.select("doc_id", text_col)
         corpus_keys = _read_state(spark, keys_path)
-        if corpus_keys is not None:
-            pairs = minhash_incremental_pairs_from_state(
-                corpus_keys, spark.read.parquet(texts_path), batch,
-                text_col, threshold)
-        else:
-            pairs = minhash_dup_pairs(batch, text_col, threshold)
-        try:
+        # cache_scope: this runs once per micro-batch forever — the
+        # pipeline's internal candidate caches must be released on exit
+        # or executor storage accumulates one dead cache per batch
+        with cache_scope():
+            if corpus_keys is not None:
+                pairs = minhash_incremental_pairs_from_state(
+                    corpus_keys, spark.read.parquet(texts_path), batch,
+                    text_col, threshold)
+            else:
+                pairs = minhash_dup_pairs(batch, text_col, threshold)
             sink_fn(pairs, batch_id)
-        finally:
-            # this runs once per micro-batch forever: the pipeline's
-            # internal caches must be released or executor storage
-            # accumulates one dead cache per batch
-            release_cached_deps(pairs)
+        # State appends are two non-atomic writes; order them so a crash
+        # in between leaves the BENIGN partial state. Texts first: a
+        # text row without band keys just means the doc isn't probe-able
+        # yet (and a checkpointed replay re-appends both — duplicates are
+        # absorbed downstream). The reverse order is the dangerous one:
+        # keys without text make the doc a candidate whose verify join
+        # (inner on the text lookup) silently drops every pair.
+        batch.write.mode("append").parquet(texts_path)
         new_keys = band_keys(minhash_signatures(
             shingle_array(batch, text_col)))
         new_keys.write.mode("append").parquet(keys_path)
-        batch.write.mode("append").parquet(texts_path)
 
     writer = docs_stream.writeStream.foreachBatch(run_batch)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
+    else:
+        import warnings
+        warnings.warn(
+            "incremental_dedup_stream without checkpoint_dir: a batch that "
+            "crashes mid-state-append is never replayed, so its documents "
+            "stay invisible to future probes. Pass checkpoint_dir in any "
+            "non-test deployment.", stacklevel=2)
     return writer

@@ -26,6 +26,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import struct
 
@@ -38,6 +39,40 @@ from pyspark.sql import types as ST
 DEFAULT_SHINGLE_N = 3
 DEFAULT_NUM_HASHES = 64
 DEFAULT_BANDS = 16          # 16 bands x 4 rows: catches J>=~0.7 w.h.p.
+
+# ------------------------------------------------ internal cache scopes --
+# Dedup pipelines cache their candidate-pair DataFrames (consumed twice:
+# semi-join prefilter + verify). Long-lived callers (foreachBatch) must
+# unpersist per batch or executor storage accumulates one dead cache per
+# batch. A monkey-patched attribute on the returned DataFrame is too
+# fragile — any .select()/.orderBy() on the result drops it — so caches
+# register in an explicit scope stack instead: wrap the produce+consume in
+# ``with cache_scope():`` and every internal cache created inside is
+# unpersisted on exit, no matter how the caller reshaped the output.
+
+_cache_scopes: list[list[DataFrame]] = []
+
+
+@contextlib.contextmanager
+def cache_scope():
+    """Unpersist every internal dedup-pipeline cache created inside the
+    block on exit. Batch sessions can skip this (teardown reclaims the
+    caches); per-micro-batch callers MUST scope each batch."""
+    scope: list[DataFrame] = []
+    _cache_scopes.append(scope)
+    try:
+        yield scope
+    finally:
+        _cache_scopes.remove(scope)
+        for df in scope:
+            df.unpersist()
+
+
+def _track_cache(df: DataFrame) -> DataFrame:
+    cached = df.cache()
+    if _cache_scopes:
+        _cache_scopes[-1].append(cached)
+    return cached
 
 
 def tokens(col):
@@ -257,7 +292,7 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     comp = candidate_components(star)
     # the candidate pair list is consumed twice (semi-join prefilter +
     # verify broadcast) and is output-bounded: cache it
-    cand = component_pairs(comp, max_component).cache()
+    cand = _track_cache(component_pairs(comp, max_component))
     cand_ids = (cand.select(F.col("a").alias("doc_id"))
                 .unionByName(cand.select(F.col("b").alias("doc_id")))
                 .distinct())
@@ -266,9 +301,7 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     # corpus-wide shingle pass entirely
     cand_docs = df.join(cand_ids, "doc_id", "left_semi")
     sh_cand = shingle_array(cand_docs, text_col)
-    out = verify_jaccard(cand, sh_cand, threshold)
-    out._cached_deps = [cand]  # released via release_cached_deps
-    return out
+    return verify_jaccard(cand, sh_cand, threshold)
 
 
 def minhash_dup_groups(df: DataFrame, text_col: str = "text",
@@ -421,12 +454,37 @@ def cosine_expr(a, b):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+# Measured dead end (r4), recorded so it isn't retried: unrolling the
+# dot product into a flat sum of 64 element_at pairs to escape the
+# interpreted higher-order functions made the verify SLOWER (17.5 s vs
+# 8.9 s at sf0.1) — the 128-reference expression exceeds the JIT method
+# budget and falls back to bytecode interpretation, and projection
+# collapse duplicates the upstream normalization into every reference.
+# The wins that actually land (below): materialize the projection /
+# normalization outputs with an exchange or cache before any operator
+# that would re-evaluate them per joined row. Sharper banding is also
+# not an option at the 0.4 oracle threshold: sign-LSH's per-plane
+# collision gap there is 0.63 vs 0.5 random, so 10x selectivity needs
+# ~10 rows/band and recall 0.9 then needs ~230 bands = 2,300
+# projections per vector — no good operating point. (At dedup-grade
+# thresholds >=0.7 the default 2-row bands already select well.)
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.45) -> DataFrame:
     """Brute-force cosine near-dup pairs (a < b). O(n^2) self-join — the
-    correctness baseline and DuckDB-oracle twin of the LSH variant."""
+    correctness baseline and DuckDB-oracle twin of the LSH variant.
+
+    The repartition before the cross join does two jobs: (1) the stream
+    side of the nested-loop join inherits the INPUT split count — a
+    one-file parquet corpus would run the whole O(n^2) loop on a single
+    core; (2) the exchange MATERIALIZES the normalized vectors, without
+    which projection collapse re-evaluates the interpreted ``_unit``
+    normalization once per joined row instead of once per input row
+    (measured 100 s -> ~5 s at sf0.1's 2M pairs)."""
     u = df.select(F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("v"))
+    u = u.repartition(df.sparkSession.sparkContext.defaultParallelism)
     a = u.select(F.col("id").alias("a"), F.col("v").alias("va"))
     b = u.select(F.col("id").alias("b"), F.col("v").alias("vb"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
@@ -506,6 +564,18 @@ def embedding_lsh_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     # normalized-vector table
     ex = (u.select("id", F.explode(F.array(*band_cols)).alias("bk"))
           .select("id", "bk.band", "bk.key"))
+    # explicit repartition on the join key, for two reasons a .cache()
+    # CANNOT deliver inside a single action (both self-join sides race
+    # before the cache materializes): (1) the exchange is REUSED by both
+    # sides, so the `planes` interpreted projections run once per vector
+    # instead of twice; (2) the explicit partition count stops AQE from
+    # coalescing this shuffle to ~1 partition on input-size evidence —
+    # the bucket self-join's OUTPUT is ~250x its input at low
+    # thresholds, exactly the blowup AQE's pre-join sizing can't see.
+    # (Measured at sf0.1/0.4: candidate stage 9.5 s -> 2.4 s.)
+    parts = max(df.sparkSession.sparkContext.defaultParallelism * 2,
+                bands * 2)
+    ex = ex.repartition(parts, "band", "key")
     cand = (ex.alias("x").join(ex.alias("y"), ["band", "key"])
             .where(F.col("x.id") < F.col("y.id"))
             .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
@@ -672,9 +742,9 @@ def minhash_incremental_pairs_from_state(corpus_keys: DataFrame,
     deduped per doc_id before the verify join (a duplicated text row
     would otherwise multiply every pair touching that doc).
 
-    The returned DataFrame carries its internally-cached dependency on
-    ``_cached_deps`` so long-lived callers (the streaming wrapper) can
-    unpersist after the batch's action — see ``release_cached_deps``."""
+    Long-lived callers (the streaming wrapper) wrap each batch in
+    ``cache_scope()`` so the internal candidate cache is unpersisted
+    after the batch's action; batch sessions can skip the scope."""
     new_keys = band_keys(
         minhash_signatures(shingle_array(new_docs, text_col), num_hashes),
         bands, num_hashes)
@@ -684,7 +754,7 @@ def minhash_incremental_pairs_from_state(corpus_keys: DataFrame,
             .select(F.least("x.doc_id", "y.doc_id").alias("a"),
                     F.greatest("x.doc_id", "y.doc_id").alias("b"))
             .distinct())
-    cand = cand.cache()
+    cand = _track_cache(cand)
     cand_ids = (cand.select(F.col("a").alias("doc_id"))
                 .unionByName(cand.select(F.col("b").alias("doc_id")))
                 .distinct())
@@ -693,19 +763,7 @@ def minhash_incremental_pairs_from_state(corpus_keys: DataFrame,
              .dropDuplicates(["doc_id"]))
     sh_cand = shingle_array(texts.join(cand_ids, "doc_id", "left_semi"),
                             text_col)
-    out = verify_jaccard(cand, sh_cand, threshold)
-    out._cached_deps = [cand]  # type: ignore[attr-defined]
-    return out
-
-
-def release_cached_deps(df: DataFrame) -> None:
-    """Unpersist the internal caches a dedup pipeline attached to its
-    output (``_cached_deps``). Call after the output's action has run;
-    batch callers can ignore this (session teardown reclaims the cache),
-    but per-micro-batch callers MUST release or executor storage
-    accumulates one dead cache per batch."""
-    for dep in getattr(df, "_cached_deps", []):
-        dep.unpersist()
+    return verify_jaccard(cand, sh_cand, threshold)
 
 
 def cross_corpus_pairs(a_docs: DataFrame, b_docs: DataFrame,
@@ -727,7 +785,7 @@ def cross_corpus_pairs(a_docs: DataFrame, b_docs: DataFrame,
         bands, num_hashes).withColumnRenamed("doc_id", "b_id")
     cand = (a_keys.join(b_keys, ["band", "h"])
             .select("a_id", "b_id").distinct())
-    cand = cand.cache()
+    cand = _track_cache(cand)
     sh_a = shingle_array(
         a_docs.join(cand.select(F.col("a_id").alias("doc_id")).distinct(),
                     "doc_id", "left_semi"), text_col) \
@@ -744,7 +802,6 @@ def cross_corpus_pairs(a_docs: DataFrame, b_docs: DataFrame,
                    F.when(union > 0, inter / union).otherwise(0.0)
                    .alias("jaccard"))
            .where(F.col("jaccard") >= threshold))
-    out._cached_deps = [cand]  # released via release_cached_deps
     return out
 
 
