@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -58,6 +59,13 @@ class VariableDef:
     # when set, anchor_cuis is ignored and the instance spans the
     # components' envelope
     components: tuple[str, ...] = ()
+    # general form (OWL-derived, DomainOntology.getCompoundAnchorMap:
+    # 853-867): one entry per hasCompoundArgumentN restriction SLOT,
+    # each a tuple of alternative component roots (union fillers); a
+    # slot is filled by a mention of any alternative (or descendant).
+    # ``components`` is the degenerate one-root-per-slot shorthand and
+    # is ignored when this is set.
+    component_slots: tuple[tuple[str, ...], ...] = ()
 
 
 @dataclass
@@ -83,22 +91,33 @@ class DomainSchema:
         """cui -> [variable names] including NARROWER descendants."""
         out: dict[str, list[str]] = {}
         for v in self.variables:
-            if v.components:
+            if v.components or v.component_slots:
                 continue  # compound anchors handled separately
             for cui in self._closure(v.anchor_cuis, dico):
                 out.setdefault(cui, []).append(v.name)
         return out
 
     def component_map(self, dico: Dictionary) -> list[tuple[str, str, str, int]]:
-        """(cui, var_name, component_root, n_components) rows for the
-        compound-anchor join."""
+        """(cui, var_name, slot_key, n_slots) rows for the
+        compound-anchor join: a mention of ``cui`` can fill slot
+        ``slot_key`` of ``var_name``; the compound fires when all
+        ``n_slots`` distinct slots are filled in one sentence. Slots
+        come from ``component_slots`` (each a union of alternative
+        roots, expanded through the isa closure) or the one-root
+        ``components`` shorthand; the slot key embeds the root list so
+        two slots with identical alternatives still count once each —
+        matching the reference's per-restriction argument check
+        (DomainOntology.getCompoundAnchors:748-764)."""
         rows = []
         for v in self.variables:
-            if not v.components:
+            slots = (v.component_slots
+                     or tuple((root,) for root in v.components))
+            if not slots:
                 continue
-            for root in v.components:
-                for cui in self._closure((root,), dico):
-                    rows.append((cui, v.name, root, len(v.components)))
+            for i, alternatives in enumerate(slots):
+                key = f"{i}:{'|'.join(alternatives)}"
+                for cui in self._closure(alternatives, dico):
+                    rows.append((cui, v.name, key, len(slots)))
         return rows
 
     def by_name(self) -> dict[str, VariableDef]:
@@ -264,13 +283,57 @@ def compose(annotated: DataFrame, schema: DomainSchema,
         comp_df = spark.createDataFrame(
             comp_rows,
             "cui string, var_name string, component string, n_comp int")
+        @F.pandas_udf("boolean")
+        def _has_distinct_assignment(edges: pd.Series) -> pd.Series:
+            """Exact satisfiability: does a system of distinct
+            representatives exist — one DISTINCT mention class per slot
+            (augmenting-path bipartite matching over slot->cui edges)?
+            The count prefilter below admits rare Hall violations with
+            >=3 overlapping union slots (e.g. slots {x},{x},{y,z} with
+            mentions {x,y,z}); the reference's instance evaluation
+            (getCompoundAnchors:755-770: one arg class per numbered
+            hasCompoundArgumentN property, then
+            getEquivalentRestrictions().evaluate) rejects those. Runs
+            only on groups that already pass the counts — a bounded,
+            Arrow-batched residue, not a per-mention UDF."""
+            def ok(es) -> bool:
+                slots: dict[str, set[str]] = {}
+                for e in es:
+                    slots.setdefault(e["slot"], set()).add(e["cui"])
+                match: dict[str, str] = {}
+
+                def aug(s: str, seen: set[str]) -> bool:
+                    for c in sorted(slots[s]):
+                        if c in seen:
+                            continue
+                        seen.add(c)
+                        if c not in match or aug(match[c], seen):
+                            match[c] = s
+                            return True
+                    return False
+
+                return all(aug(s, set()) for s in sorted(slots))
+            return pd.Series([ok(e) for e in edges])
+
         matched = (annotated
                    .join(F.broadcast(comp_df), "cui")
                    .groupBy("doc_id", "sent_id", "var_name", "n_comp")
                    .agg(F.countDistinct("component").alias("_found"),
+                        F.countDistinct("cui").alias("_n_cuis"),
+                        F.collect_set(F.struct(
+                            F.col("component").alias("slot"),
+                            F.col("cui").alias("cui"))).alias("_edges"),
                         F.min("start").alias("start"),
                         F.max("end").alias("end"))
-                   .where(F.col("_found") == F.col("n_comp")))
+                   # every slot filled AND at least n_comp distinct
+                   # mention classes (getCompoundAnchors:748-752
+                   # possibleArgs.size() >= compoundRestrictions.length)
+                   # — cheap JVM prefilter; the exact per-slot distinct
+                   # assignment is verified on the survivors
+                   .where((F.col("_found") == F.col("n_comp"))
+                          & (F.col("_n_cuis") >= F.col("n_comp")))
+                   .where(_has_distinct_assignment("_edges"))
+                   .drop("_edges"))
         comp_inst = matched.select(
             F.concat_ws("#", "doc_id", "var_name",
                         F.col("start").cast("string"),
