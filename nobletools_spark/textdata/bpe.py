@@ -42,15 +42,12 @@ def _sym_col(word_col):
                     F.array(F.lit(END)))
 
 
-def pair_counts(wc: DataFrame) -> DataFrame:
-    """-> (a, b, n): adjacent-symbol pair frequencies over the word table,
-    weighted by word count — one BPE training iteration's statistics,
-    fully distributed (explode over an index sequence, JVM-side; groupBy
-    pair). At web scale this is the stage worth distributing: the pair
-    key space is quadratic in alphabet, tiny next to the corpus."""
-    syms = _sym_col(F.col("word"))
-    d = wc.select("n", syms.alias("s"))
-    idx = F.sequence(F.lit(1), F.size("s") - 1)
+def _pair_counts_from_syms(d: DataFrame) -> DataFrame:
+    """(s array<string>, n) -> (a, b, n) adjacent-pair frequencies.
+    Guarded for fully-merged single-symbol sequences: sequence(1, 0)
+    would DESCEND through index 0 rather than produce an empty range."""
+    idx = F.when(F.size("s") >= 2, F.sequence(F.lit(1), F.size("s") - 1)) \
+           .otherwise(F.array().cast("array<int>"))
     pairs = d.select(
         "n", F.explode(F.transform(
             idx, lambda i: F.struct(
@@ -58,6 +55,16 @@ def pair_counts(wc: DataFrame) -> DataFrame:
                 F.element_at("s", i + 1).alias("b")))).alias("p"))
     return (pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("n").alias("n")))
+
+
+def pair_counts(wc: DataFrame) -> DataFrame:
+    """-> (a, b, n): adjacent-symbol pair frequencies over the word table,
+    weighted by word count — one BPE training iteration's statistics,
+    fully distributed (explode over an index sequence, JVM-side; groupBy
+    pair). At web scale this is the stage worth distributing: the pair
+    key space is quadratic in alphabet, tiny next to the corpus."""
+    syms = _sym_col(F.col("word"))
+    return _pair_counts_from_syms(wc.select("n", syms.alias("s")))
 
 
 def _merge_seq(seq: list[str], a: str, b: str) -> list[str]:
@@ -110,6 +117,65 @@ def bpe_train(df: DataFrame, num_merges: int = 100,
         best = min(p for p, c in counts.items() if c == top)
         merges.append(best)
         table = [(_merge_seq(seq, *best), n) for seq, n in table]
+    return merges
+
+
+def _merge_expr(col, a: str, b: str):
+    """JVM-side greedy left-to-right merge of adjacent (a, b) into a+b —
+    the exact semantics of ``_merge_seq``. The fold carries the output
+    array; a fresh element b fuses with a trailing a. A token CREATED by
+    this pass can never re-trigger the rule as its `a` side (that would
+    need a+b == a, impossible with nonempty b), so the fold's
+    "look at the last output token" test is exactly greedy
+    non-overlapping left-to-right."""
+    return F.aggregate(
+        col, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(a + b)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_train_distributed(df: DataFrame, num_merges: int = 100,
+                          text_col: str = "text") -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges with the merge loop itself driven
+    from the DISTRIBUTED pair table — nothing vocab-sized ever reaches
+    the driver (each iteration collects exactly ONE row: the winning
+    pair). Identical output to ``bpe_train`` (same deterministic
+    tiebreak: max count, then lexicographically smallest pair —
+    pytest-pinned parity), so the two are interchangeable; pick by
+    deployment shape:
+
+    - ``bpe_train``: vocab fits the driver comfortably (it usually
+      does — the table is distinct-vocabulary-bounded); 1 Spark job
+      total, merge loop at Python speed.
+    - this: web-scale vocabularies past the ``max_vocab_rows`` budget,
+      or drivers that must stay thin. Per iteration: one shuffle over
+      the vocab table (pair aggregation), a 1-row collect, and one
+      narrow JVM fold applying the merge. Lineage is truncated with an
+      eager ``localCheckpoint`` per iteration — without it, iteration k
+      replays all k-1 prior merge folds and the plan grows O(k^2).
+    """
+    wc = word_counts(df, text_col)
+    table = wc.select(_sym_col(F.col("word")).alias("s"), "n")
+    table = table.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(num_merges):
+            top = (_pair_counts_from_syms(table)
+                   .orderBy(F.desc("n"), "a", "b").limit(1).collect())
+            if not top:
+                break
+            a, b = top[0].a, top[0].b
+            merges.append((a, b))
+            nxt = table.select(_merge_expr(F.col("s"), a, b).alias("s"),
+                               "n").localCheckpoint(eager=True)
+            table.unpersist()
+            table = nxt
+    finally:
+        table.unpersist()
     return merges
 
 

@@ -89,6 +89,45 @@ class TestTrain:
             B.bpe_train(df, 2, max_vocab_rows=3)
 
 
+class TestTrainDistributed:
+    def test_parity_with_driver_loop(self, spark):
+        # the distributed merge loop (nothing vocab-sized on the driver,
+        # 1-row collect per iteration) must produce the identical merge
+        # list — including repeated-symbol greedy cases (oo/ooo) and
+        # ties broken lexicographically
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["low low low lower lowest", "new newer newest wide wider",
+                 "loooow wooool oooo", "low wide new low"])],
+            "doc_id long, text string")
+        assert B.bpe_train_distributed(df, 12) == B.bpe_train(df, 12)
+
+    def test_partitioning_invariance(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["aa ab ba bb aa", "ab ab aa ba"])],
+            "doc_id long, text string")
+        assert (B.bpe_train_distributed(df, 6)
+                == B.bpe_train_distributed(df.repartition(5), 6))
+
+    def test_merge_expr_matches_merge_seq(self, spark):
+        from pyspark.sql import functions as F
+        cases = [(["x", "x", "x", "x"], "x", "x"),
+                 (["x", "x", "y"], "x", "y"),
+                 (["x", "y", "y"], "x", "y"),
+                 (["a"], "a", "a"),
+                 ([], "a", "b"),
+                 (["x", "y", "x", "y", "x"], "x", "y")]
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _, _) in enumerate(cases)],
+            "i int, s array<string>")
+        for i, (seq, a, b) in enumerate(cases):
+            got = (df.where(F.col("i") == i)
+                   .select(B._merge_expr(F.col("s"), a, b).alias("m"))
+                   .collect()[0].m)
+            assert got == B._merge_seq(seq, a, b), (seq, a, b)
+
+
 class TestEncode:
     def test_round_trip_and_merge_consistency(self, spark, texts):
         docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
