@@ -158,3 +158,288 @@ class RemoteTerminology:
         ids = {c["cui"] for c in concepts}
         return concepts, [(a, b) for a, b in edges
                           if a in ids and b in ids]
+
+
+# --------------------------------------------------------------------------
+# LexEVS REST client (terminology/impl/LexEVSRestTerminology.java) — the
+# caGrid GetXML surface: queries return nested <class name="org.LexGrid...">
+# elements whose <field> children fold into maps, then into concepts.
+# Same injectable-transport design as RemoteTerminology above.
+# --------------------------------------------------------------------------
+
+class LexEVSTerminology:
+    """LexEVSRestTerminology.java analog over an injectable transport.
+
+    URL shapes, the ``server#scheme`` split with the "NCI MetaThesaurus"
+    default (:48-62), the class/field map folding (processElement
+    :245-270), and the Concept assembly from presentation/definition/
+    property lists (convertConcept :67-215) all mirror the reference.
+    """
+
+    DEFAULT_SCHEME = "NCI MetaThesaurus"
+
+    def __init__(self, server: str, fetch: Callable[[str], str]):
+        self.location, _, scheme = server.partition("#")
+        self.scheme = scheme or self.DEFAULT_SCHEME
+        self.fetch = fetch
+
+    @staticmethod
+    def _filter(s: str) -> str:
+        # LexEVSRestTerminology.filter:409-411 — spaces only
+        return s.replace(" ", "%20")
+
+    def _lookup_url(self, cui: str) -> str:
+        return (f"{self.location}/GetXML?query=org.LexGrid.concepts.Concept&"
+                f"org.LexGrid.concepts.Concept[@_entityCode="
+                f"{self._filter(cui)}]&codingSchemeName="
+                f"{self._filter(self.scheme)}")
+
+    def _search_url(self, text: str) -> str:
+        return (f"{self.location}/GetXML?query=Concept,Presentation,Text&"
+                f"Text[@_content={self._filter(text)}]&codingSchemeName="
+                f"{self._filter(self.scheme)}")
+
+    # -- class/field folding (processElement:245-270) ----------------------
+
+    @classmethod
+    def _process_element(cls, element) -> dict:
+        content: dict = {"name": element.get("name")}
+        for child in element:
+            if child.tag != "field":
+                continue
+            nm = child.get("name")
+            classes = child.findall(".//class")
+            if classes:
+                content[nm] = [cls._process_element(e) for e in classes]
+            elif nm not in content:
+                content[nm] = (child.text or "").strip()
+        return content
+
+    @staticmethod
+    def _first_text(m: dict) -> str | None:
+        for tm in m.get("_value", []):
+            if tm.get("name") == "org.LexGrid.commonTypes.Text":
+                return str(tm.get("_content", ""))
+        return None
+
+    @staticmethod
+    def _first_source(m: dict) -> str | None:
+        sl = m.get("_sourceList") or []
+        if sl and sl[0].get("name") == "org.LexGrid.commonTypes.Source":
+            return sl[0].get("_content") or None
+        return None
+
+    def _convert_concept(self, content: dict) -> ConceptMeta | None:
+        if content.get("name") != "org.LexGrid.concepts.Concept":
+            return None
+        cui = str(content.get("_entityCode", ""))
+        synonyms: list[str] = []
+        terms: list[tuple[str, str]] = []
+        sources: list[str] = []
+        for m in content.get("_presentationList", []):
+            if m.get("name") != "org.LexGrid.concepts.Presentation":
+                continue
+            text = self._first_text(m)
+            if text is None:
+                continue
+            synonyms.append(text.strip())
+            src = self._first_source(m)
+            if src and src not in sources:
+                sources.append(src)
+            form = m.get("_representationalForm") or (
+                "PT" if str(m.get("_isPreferred")).lower() == "true"
+                else "SY")
+            terms.append((text, form))
+        definitions = []
+        for m in content.get("_definitionList", []):
+            if m.get("name") == "org.LexGrid.concepts.Definition":
+                text = self._first_text(m)
+                if text is not None:
+                    definitions.append(text)
+        name = cui
+        for m in content.get("_entityDescription", []):
+            if m.get("name") == "org.LexGrid.commonTypes.EntityDescription":
+                name = str(m.get("_content", cui))
+        props: dict[str, str] = {}
+        for m in content.get("_propertyList", []):
+            if m.get("name") == "org.LexGrid.commonTypes.Property":
+                value = self._first_text(m)
+                prop = m.get("_propertyName")
+                if prop and value is not None:
+                    props[prop] = value
+        sem_types = ((props["Semantic_Type"],)
+                     if "Semantic_Type" in props else ())
+        return ConceptMeta(cui=cui, name=name, synonyms=tuple(
+            dict.fromkeys([name, *synonyms])), sem_types=sem_types,
+            sources=tuple(sources) or ("LexEVS",),
+            terms=tuple(terms) or ((name, "PT"),),
+            definitions=tuple(definitions), codes=(),
+            props=tuple(sorted(props.items())))
+
+    def _process_response(self, xml_text: str) -> list[ConceptMeta]:
+        root = ET.fromstring(xml_text)
+        qr = (root if root.tag == "queryResponse"
+              else root.find(".//queryResponse"))
+        out: list[ConceptMeta] = []
+        if qr is None:
+            return out
+        for child in qr:
+            if child.tag == "class":
+                c = self._convert_concept(self._process_element(child))
+                if c is not None:
+                    out.append(c)
+        return out
+
+    def lookup_concept(self, cui: str) -> ConceptMeta | None:
+        found = self._process_response(self.fetch(self._lookup_url(cui)))
+        return found[0] if found else None
+
+    def search(self, text: str) -> list[ConceptMeta]:
+        return self._process_response(self.fetch(self._search_url(text)))
+
+
+# --------------------------------------------------------------------------
+# UMLS RRF-over-SQL client (terminology/impl/UMLSTerminology.java) — the
+# mrconso/mrdef/mrsty/mrsab relational surface. The JDBC connection is an
+# injectable ``run_query(sql) -> list[dict]`` (tests back it with DuckDB
+# executing the same SQL over real RRF-shaped tables, so the generated SQL
+# itself is exercised, not just the folding).
+# --------------------------------------------------------------------------
+
+SEARCH_EXACT = "exactMatch"
+SEARCH_STARTS_WITH = "startsWith"
+SEARCH_ENDS_WITH = "endsWith"
+SEARCH_CONTAINS = "contains"
+SEARCH_BEST = "bestMatch"
+SEARCH_NGRAM = "ngramMatch"
+
+
+class UMLSTerminology:
+    """UMLSTerminology.java analog over an injectable query runner.
+
+    lookupConcept (:192-295) folds mrconso rows into terms/synonyms/
+    sources/codes with ispref='y' preferring the name, then mrdef into
+    definitions and mrsty into semantic types. search (:344-440) mirrors
+    the mode dispatch — including the reference's substring-match quirk
+    (``SEARCH_BEST.contains(method)``, so method='best' or even 'Match'
+    selects best-match), the 3-char case-insensitive prefix speedup of
+    the exact condition, the LIKE shapes, the source (sab) filter, and
+    the largest-first non-overlapping n-gram sweep (:319-377 with
+    TextTools.getNGrams:399-417 semantics)."""
+
+    def __init__(self, run_query: Callable[[str], list[dict]],
+                 lang: str | None = "ENG"):
+        self.run_query = run_query
+        self.lang = lang
+        self.filter_sources: tuple[str, ...] = ()
+
+    def set_source_filter(self, sources) -> None:
+        self.filter_sources = tuple(sources)
+
+    def get_sources(self) -> list[dict]:
+        return self.run_query("SELECT * FROM mrsab")
+
+    def lookup_concept(self, cui: str) -> ConceptMeta | None:
+        cond = f"cui = '{cui}'" + (
+            f" AND lat = '{self.lang}'" if self.lang else "")
+        rows = self.run_query(f"SELECT * FROM mrconso WHERE {cond}")
+        if not rows:
+            return None
+        synonyms: list[str] = []
+        terms: list[tuple[str, str]] = []
+        sources: list[str] = []
+        codes: list[tuple[str, str]] = []
+        preferred: str | None = None
+        for r in rows:
+            text, form = r["str"], r["tty"]
+            if text not in synonyms:
+                synonyms.append(text)
+            if r["sab"] not in sources:
+                sources.append(r["sab"])
+            terms.append((text, form))
+            codes.append((r["sab"], r["code"]))   # ConceptMeta (source, code)
+            if preferred is None and str(r["ispref"]).lower() == "y":
+                preferred = text
+        name = preferred if preferred is not None else rows[0]["str"]
+        defs = [r["def"] for r in self.run_query(
+            f"SELECT * FROM mrdef WHERE cui = '{cui}'")]
+        stys = [r["sty"] for r in self.run_query(
+            f"SELECT * FROM mrsty WHERE cui = '{cui}'")]
+        return ConceptMeta(
+            cui=cui, name=name, synonyms=tuple(synonyms),
+            sem_types=tuple(dict.fromkeys(stys)), sources=tuple(sources),
+            terms=tuple(terms), definitions=tuple(defs),
+            codes=tuple(dict.fromkeys(codes)))
+
+    # -- search (:344-440) --------------------------------------------------
+
+    @staticmethod
+    def _ngrams(text: str, n: int) -> list[str]:
+        """TextTools.getNGrams:399-417 — all word n-grams, LARGEST first."""
+        from ..text.tools import get_words
+        words = get_words(text)
+        out: list[str] = []
+        for e in range(n, 0, -1):
+            for s in range(0, len(words) - e + 1):
+                out.append(" ".join(words[s:s + e]))
+        return out
+
+    @staticmethod
+    def _is_used(text: str, used: list[str], ng: str) -> bool:
+        """Overlap test on character spans (:319-335)."""
+        st = text.find(ng)
+        en = st + len(ng)
+        for s_str in used:
+            s = text.find(s_str)
+            e = s + len(s_str)
+            if not (st > e or en < s):
+                return True
+        return False
+
+    def search(self, text: str, method: str = SEARCH_NGRAM) -> list[dict]:
+        """-> [{cui, str}] distinct hits. Mode dispatch mirrors the
+        reference verbatim, including its `in`-not-`==` method matching."""
+        if method in SEARCH_BEST:          # reference quirk: substring
+            return (self.search(text, SEARCH_EXACT)
+                    or self.search(text, SEARCH_CONTAINS))
+        if method in SEARCH_NGRAM:
+            from ..text.tools import get_words
+            stext = " ".join(get_words(text))
+            used: list[str] = []
+            out: list[dict] = []
+            for ng in self._ngrams(text, 4):
+                if self._is_used(stext, used, ng):
+                    continue
+                hits = self.search(ng, SEARCH_EXACT)
+                if hits:
+                    out.extend(hits)
+                    used.append(ng)
+            return out
+        if method == SEARCH_CONTAINS:
+            condition = f" str LIKE '%{text}%'"
+        elif method == SEARCH_STARTS_WITH:
+            condition = f" str LIKE '{text}%'"
+        elif method == SEARCH_ENDS_WITH:
+            condition = f" str LIKE '%{text}'"
+        elif len(text) > 3:
+            # exact, case-insensitive, with the 3-char prefix speedup
+            a, b = text[0], text[1:4]
+            condition = (
+                "((str LIKE '" + a.upper() + b.lower() + "%' OR "
+                "str LIKE '" + (a + b).lower() + "%' OR "
+                "str LIKE '" + (a + b).upper() + "%')"
+                " AND UPPER(str) = '" + text.upper() + "')")
+        else:
+            condition = f" str = '{text}'"
+        filt = ""
+        if self.filter_sources:
+            quoted = ", ".join(f"'{s}'" for s in self.filter_sources)
+            filt = f" AND sab IN ({quoted})"
+        rows = self.run_query(
+            f"SELECT DISTINCT cui, str FROM mrconso WHERE {condition}{filt}")
+        out, seen = [], set()
+        for r in rows:
+            if r["cui"] not in seen:
+                seen.add(r["cui"])
+                out.append({"cui": r["cui"], "str": r["str"]})
+        return out
