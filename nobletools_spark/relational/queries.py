@@ -1667,3 +1667,143 @@ def decontamination_pairs(spark, sf):
                                threshold=0.8)
             .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
             .orderBy("a_id", "b_id"))
+
+
+@_q("pii_scrub_stats", """
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' Contact ' ||
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) ||
+         '@example.com or 555-867-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ', host 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+         '.7, ssn 123-45-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS t
+  FROM documents),
+scrub AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+  FROM aug),
+scrub2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(t1,
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip,
+    regexp_replace(t1,
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+        '<IP>', 'g') AS t2
+  FROM scrub),
+scrub3 AS (
+  SELECT doc_id, n_email, n_ip,
+    len(regexp_extract_all(t2, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
+    regexp_replace(t2, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b',
+                   '<SSN>', 'g') AS t3
+  FROM scrub2),
+scrub4 AS (
+  SELECT doc_id, n_email, n_ip, n_ssn,
+    len(regexp_extract_all(t3,
+        '\\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\\b')) AS n_phone,
+    regexp_replace(t3, '\\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\\b',
+                   '<PHONE>', 'g') AS t4
+  FROM scrub3)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ip AS BIGINT) AS n_ip, CAST(n_ssn AS BIGINT) AS n_ssn,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       md5(t4) AS clean_md5
+FROM scrub4 ORDER BY doc_id
+""")
+def pii_scrub_stats(spark, sf):
+    # PII scrubbing evidence: the synthetic corpus carries no real PII,
+    # so each document is deterministically AUGMENTED (from its own
+    # doc_id) with an email, a phone, an IP, and an SSN-shaped token;
+    # both engines build the identical augmented text, run the identical
+    # Java-regex/RE2-common patterns, and compare counts + the md5 of
+    # the scrubbed text — the full replace semantics, not just counts.
+    from ..textdata.analysis import pii_scrub
+    d = load(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" Contact "),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+            F.lit("@example.com or 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(", host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7, ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(".")).alias("text"))
+    return (pii_scrub(aug)
+            .select("doc_id", "n_email", "n_ip", "n_ssn", "n_phone",
+                    F.md5("clean").alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+@_q("ngram_overlap_pairs", """
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\W+') toks
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(toks) - 4, 0) + 1),
+          i -> substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4]), 1, 16)))
+          AS gh
+      FROM d),
+g2 AS (SELECT DISTINCT doc_id, gh FROM g),
+delta AS (
+  SELECT doc_id FROM documents
+  WHERE list_reduce(list_transform(
+          string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+          (a, b) -> a * 16 + b) % 5 = 0)
+SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM g2 t JOIN g2 e ON t.gh = e.gh
+WHERE t.doc_id NOT IN (SELECT doc_id FROM delta)
+  AND e.doc_id IN (SELECT doc_id FROM delta)
+GROUP BY 1, 2 ORDER BY train_id, eval_id
+""")
+def ngram_overlap_pairs(spark, sf):
+    # GPT-3-style EXACT n-gram decontamination evidence (verbatim eval
+    # n-grams leaking into training docs — the complement of the MinHash
+    # near-dup path): md5-keyed 5-grams, one shuffle on the gram key,
+    # eval side broadcast by AQE. Oracle recomputes grams + the join.
+    from ..textdata.analysis import ngram_overlap_pairs as impl
+    from ..textdata.packing import md5_bucket
+    d = _spread(spark, load(spark, sf, "documents"))
+    is_eval = md5_bucket(F.col("doc_id"), 5) == 0
+    return (impl(d.where(~is_eval), d.where(is_eval), k=5)
+            .orderBy("train_id", "eval_id"))
+
+
+@_q("dedup_keep_list", f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+p2 AS (SELECT p.a, p.b
+       FROM p JOIN z za ON p.a = za.doc_id JOIN z zb ON p.b = zb.doc_id
+       WHERE i*1.0/(za.n+zb.n-i) >= 0.8),
+und(x, y) AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+reach(x, y) AS (SELECT x, y FROM und
+                UNION
+                SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x
+                WHERE r.x <> u.y),
+grp AS (SELECT x AS doc_id, least(x, min(y)) AS group_id
+        FROM reach GROUP BY x),
+alld AS (SELECT d0.doc_id,
+                coalesce(grp.group_id, d0.doc_id) AS group_id,
+                length(d0.text) AS len
+         FROM documents d0 LEFT JOIN grp ON d0.doc_id = grp.doc_id)
+SELECT doc_id, group_id,
+       (row_number() OVER (PARTITION BY group_id
+                           ORDER BY len DESC, doc_id)) = 1 AS keep
+FROM alld ORDER BY doc_id
+""")
+def dedup_keep_list(spark, sf):
+    # the dedup DECISION surface a cleaning job consumes: one kept
+    # representative per near-dup group (longest text, tie to smallest
+    # doc_id), ungrouped docs keep trivially; oracle re-derives groups as
+    # the recursive closure over exact-Jaccard pairs, then applies the
+    # same deterministic window
+    from ..textdata.dedup import dedup_representatives
+    d = _spread(spark, load(spark, sf, "documents"))
+    return dedup_representatives(d, threshold=0.8).orderBy("doc_id")

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import tokens
+
 # BPE-ish pre-tokenization: word pieces OR single non-space punctuation —
 # the standard byte-pair-encoding pre-split shape (GPT-2-style), counted
 # JVM-side via regexp_extract_all.
@@ -161,3 +163,65 @@ def c4_filters(df: DataFrame, text_col: str = "text",
                     ok_len.alias("ok_mean_len"),
                     has_stop.alias("has_stop_word"),
                     (ok_words & ok_len & has_stop).alias("keep")))
+
+
+# ------------------------------------------------------------------- PII --
+# Regex-based PII scrubbing — the standard pre-training cleanup pass
+# (emails/phones/IPs/SSNs -> typed placeholders). Patterns deliberately
+# stay in the Java-regex/RE2 COMMON dialect (character classes, bounded
+# repetition, \b anchors; no lookaround, no backrefs) so the DuckDB
+# oracle applies the literally identical pattern with regexp_replace.
+# Pure JVM column expressions: at 100 TB this is a narrow map stage.
+
+PII_PATTERNS = (
+    # order matters: earlier rules must not create text later rules match
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("PHONE", r"\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_email, n_ip, n_ssn, n_phone, clean): per-document
+    PII match counts and the text with each match replaced by its typed
+    placeholder (``<EMAIL>`` etc.), applied in PII_PATTERNS order."""
+    counts = []
+    clean = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{name.lower()}"))
+        clean = F.regexp_replace(clean, pat, f"<{name}>")
+    return df.select("doc_id", *counts, clean.alias("clean"))
+
+
+# --------------------------------------------- exact n-gram eval overlap --
+# GPT-3-appendix-style decontamination evidence: EXACT shared word
+# n-grams between a training corpus and an eval corpus (the complement
+# of the MinHash path in dedup.cross_corpus_pairs — that finds near-dup
+# documents; this finds verbatim leakage of eval n-grams anywhere in a
+# training document). Gram keys are md5-prefixed so an external engine
+# recomputes them; at 100 TB swap xxhash64, same topology: one shuffle
+# on the gram key, eval side tiny -> AQE broadcasts it.
+
+def ngram_overlap_pairs(train: DataFrame, evalset: DataFrame,
+                        text_col: str = "text", k: int = 5) -> DataFrame:
+    """-> (train_id, eval_id, n_shared): distinct shared k-grams per
+    cross-corpus document pair (only pairs with >= 1 shared gram)."""
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        base = df.select(F.col("doc_id").alias(out_id),
+                         tokens(F.col(text_col)).alias("_t"))
+        n = F.size("_t")
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
+               .otherwise(F.array().cast("array<int>"))
+        g = F.transform(idx, lambda i: F.substring(
+            F.md5(F.concat_ws(" ", *[F.element_at("_t", i + j)
+                                     for j in range(k)])), 1, 16))
+        return (base.select(out_id, F.explode(g).alias("gh"))
+                .distinct())
+    t = grams(train, "train_id")
+    e = grams(evalset, "eval_id")
+    return (t.join(e, "gh")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))

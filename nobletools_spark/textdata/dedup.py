@@ -817,3 +817,30 @@ def decontaminate(train_docs: DataFrame, test_docs: DataFrame,
     hits = pairs.select(F.col("a_id").alias("doc_id")).distinct()
     return {"clean": train_docs.join(hits, "doc_id", "left_anti"),
             "contaminated": pairs}
+
+
+def dedup_representatives(df: DataFrame, text_col: str = "text",
+                          threshold: float = 0.8,
+                          num_hashes: int = DEFAULT_NUM_HASHES,
+                          bands: int = DEFAULT_BANDS,
+                          max_component: int = 1000) -> DataFrame:
+    """-> (doc_id, group_id, keep): the dedup DECISION surface — one
+    representative survives per near-dup group (longest text wins, tie
+    to the smallest doc_id: prefer keeping the most content, stay
+    deterministic); documents in no group keep trivially with
+    group_id = their own doc_id. This is what a cleaning job actually
+    consumes: ``where keep`` is the deduplicated corpus, and the group
+    label preserves the lineage for audits. Costs one extra doc_id join
+    + one window over the (small, dup-only) grouped slice on top of
+    ``minhash_dup_groups``."""
+    from pyspark.sql.window import Window
+    groups = minhash_dup_groups(df, text_col, threshold, num_hashes,
+                                bands, max_component)
+    joined = (df.select("doc_id", F.length(F.col(text_col)).alias("_len"))
+              .join(groups, "doc_id", "left")
+              .withColumn("group_id",
+                          F.coalesce("group_id", F.col("doc_id"))))
+    w = Window.partitionBy("group_id").orderBy(F.desc("_len"), "doc_id")
+    return (joined
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .select("doc_id", "group_id", "keep"))

@@ -155,3 +155,51 @@ class TestTrainingDataAssemblyPlans:
             # the single-row scalar cross joins must plan as broadcast
             # nested-loop of 1 row, never a real CartesianProduct
             assert "CartesianProduct" not in plan
+
+
+class TestR4Plans:
+    def test_embedding_lsh_exchange_reuse(self, spark):
+        # the band-key table feeds both self-join sides through ONE
+        # hash-partitioned exchange (ReusedExchange), so the interpreted
+        # projections run once per vector; the explicit partition count
+        # also stops AQE from coalescing the blowup join (r4 fix:
+        # candidate stage 9.5 s -> 2.4 s at sf0.1)
+        from nobletools_spark.textdata.dedup import \
+            embedding_lsh_neardup_pairs
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        df = embedding_lsh_neardup_pairs(e, threshold=0.4, dim=64)
+        # AQE only materializes ReusedExchange in the EXECUTED plan —
+        # and only THIS DataFrame's execution (a noop write plans a copy)
+        df.collect()
+        plan = plan_of(df)
+        assert "isFinalPlan=true" in plan
+        assert "ReusedExchange" in plan
+
+    def test_brute_cosine_parallel_and_materialized(self, spark):
+        # the O(n^2) verify must not run on the input's (single) parquet
+        # split, and the exchange must materialize the normalization so
+        # it is not re-evaluated per joined row (r4 fix: 100 s -> 8 s)
+        from nobletools_spark.textdata.dedup import embedding_neardup_pairs
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = plan_of(embedding_neardup_pairs(e, threshold=0.4))
+        assert "Exchange RoundRobinPartitioning" in plan
+
+    def test_pii_scrub_is_map_side_only(self, spark):
+        # PII scrubbing is a narrow map stage: zero shuffles, no Python
+        from nobletools_spark.textdata.analysis import pii_scrub
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(pii_scrub(d))
+        assert "Exchange" not in plan
+        assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+    def test_ngram_overlap_single_gram_shuffle_broadcast_eval(self, spark):
+        # one shuffle keys the gram join; the (small) eval side arrives
+        # by broadcast, so the training corpus never re-shuffles for it
+        from pyspark.sql import functions as F
+
+        from nobletools_spark.textdata.analysis import ngram_overlap_pairs
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        train = d.where(F.col("doc_id") % 5 != 0)
+        ev = d.where(F.col("doc_id") % 5 == 0).limit(20)
+        plan = plan_of(ngram_overlap_pairs(train, ev))
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

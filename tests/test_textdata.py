@@ -441,3 +441,79 @@ class TestIvfAnn:
         a = build_ivf(emb, n_clusters=8).search(probe, k=5, n_probe=2)
         b = build_ivf(emb, n_clusters=8).search(probe, k=5, n_probe=2)
         assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+class TestPiiScrub:
+    def test_counts_and_replacement(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Mail bob.smith+x@lab.example.org or call 555-867-5309, "
+                 "server 192.168.0.1, ssn 123-45-6789."),
+             (2, "no pii here"),
+             (3, None)],
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in
+                A.pii_scrub(df.where("text is not null")).collect()}
+        r1 = rows[1]
+        assert (r1.n_email, r1.n_phone, r1.n_ip, r1.n_ssn) == (1, 1, 1, 1)
+        assert "<EMAIL>" in r1.clean and "<PHONE>" in r1.clean
+        assert "<IP>" in r1.clean and "<SSN>" in r1.clean
+        assert "bob.smith" not in r1.clean and "6789" not in r1.clean
+        r2 = rows[2]
+        assert (r2.n_email, r2.n_phone, r2.n_ip, r2.n_ssn) == (0, 0, 0, 0)
+        assert r2.clean == "no pii here"
+
+    def test_order_ip_before_phone(self, spark):
+        # an IP must be consumed by the IP rule, not mangled by PHONE
+        df = spark.createDataFrame([(1, "ip 10.20.30.40 end")],
+                                   "doc_id long, text string")
+        r = A.pii_scrub(df).collect()[0]
+        assert r.n_ip == 1 and r.n_phone == 0
+        assert "<IP>" in r.clean
+
+
+class TestNgramOverlap:
+    def test_verbatim_leak_detected(self, spark):
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta"),
+             (2, "totally unrelated words without any leak here")],
+            "doc_id long, text string")
+        evalset = spark.createDataFrame(
+            [(10, "X alpha beta gamma delta epsilon Y"),
+             (11, "nothing shared at all in this sentence")],
+            "doc_id long, text string")
+        got = {(r.train_id, r.eval_id): r.n_shared
+               for r in A.ngram_overlap_pairs(train, evalset, k=5).collect()}
+        # train 1 shares exactly one distinct 5-gram with eval 10
+        assert got == {(1, 10): 1}
+
+    def test_short_docs_no_grams(self, spark):
+        train = spark.createDataFrame([(1, "a b c")],
+                                      "doc_id long, text string")
+        evalset = spark.createDataFrame([(2, "a b c")],
+                                        "doc_id long, text string")
+        assert A.ngram_overlap_pairs(train, evalset, k=5).count() == 0
+
+
+class TestDedupRepresentatives:
+    def test_longest_wins_and_singletons_keep(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extended tail"), (3, base),
+             (4, "a completely different document about something else")],
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in
+                D.dedup_representatives(df, threshold=0.5).collect()}
+        assert len(rows) == 4                    # every doc gets a verdict
+        grp = {rows[i].group_id for i in (1, 2, 3)}
+        assert len(grp) == 1                     # one near-dup group
+        assert rows[2].keep                      # longest text survives
+        assert not rows[1].keep and not rows[3].keep
+        assert rows[4].keep and rows[4].group_id == 4
+
+    def test_tie_breaks_to_min_doc_id(self, spark):
+        base = "identical duplicated content for the tie break check here"
+        df = spark.createDataFrame([(7, base), (3, base)],
+                                   "doc_id long, text string")
+        rows = {r.doc_id: r for r in
+                D.dedup_representatives(df, threshold=0.5).collect()}
+        assert rows[3].keep and not rows[7].keep
