@@ -184,6 +184,11 @@ def kg_throughput(sf_dir: str, cpus: int, entry_mod,
 
         n_docs = base_docs * replicate
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        # canary ON THE PROBE'S OWN (pinned) CORES, bracketing the timed
+        # region: the parent's pre/post-draw canaries sample moments
+        # outside the probe subprocesses and can miss contention that
+        # lands mid-probe — the residual draw-to-draw spread source
+        c_pre = min(_canary_py_spin() for _ in range(2))
         best = None
         n_triples = 0
         for _ in range(max(repeats, 1)):
@@ -192,9 +197,13 @@ def kg_throughput(sf_dir: str, cpus: int, entry_mod,
             n_triples = out["triples"].count()
             sec = time.time() - t0
             best = sec if best is None else min(best, sec)
+        c_post = min(_canary_py_spin() for _ in range(2))
+        quiet = max(c_pre, c_post) <= CANARY_REF_PY_SEC * CANARY_MAX_RATIO
         return {"cpus": cpus, "sec": round(best, 3), "docs": n_docs,
                 "triples": n_triples,
-                "docs_per_sec": round(n_docs / best, 1) if best > 0 else None}
+                "docs_per_sec": round(n_docs / best, 1) if best > 0 else None,
+                "canary_pre": round(c_pre, 3), "canary_post": round(c_post, 3),
+                "canary_ok": quiet}
     finally:
         spark.stop()
 
@@ -239,7 +248,11 @@ def run(sf_dir: str, cpus: int) -> dict:
             d_eff = round((hi["docs_per_sec"] / lo["docs_per_sec"])
                           / (hi_cpus / lo_cpus), 3)
         draws.append({"lo": lo, "hi": hi, "efficiency": d_eff,
-                      "canary_ok": pre[-1]["ok"] and post["ok"]})
+                      # quiet = the parent bracket AND both probes' own
+                      # in-subprocess, on-pinned-cores brackets
+                      "canary_ok": (pre[-1]["ok"] and post["ok"]
+                                    and lo.get("canary_ok", True)
+                                    and hi.get("canary_ok", True))})
 
         def _usable(ds):
             """Draws whose host canary stayed quiet through the pair; a

@@ -648,7 +648,10 @@ def embedding_cosine_topk(spark, sf):
     nrm = F.sqrt(F.aggregate(F.zip_with(vec, vec, lambda a, b: a * b),
                              F.lit(0.0), lambda acc, x: acc + x))
     pn = float(sum(float(x) * float(x) for x in probe)) ** 0.5
-    return (e.where(F.col("vec_id") != 0)
+    # _spread: the one-split parquet corpus would run the interpreted
+    # HOF dot products on a single task; TakeOrdered then merges the
+    # per-partition top-10s, so the scan parallelizes cleanly
+    return (_spread(spark, e.where(F.col("vec_id") != 0))
             .select("vec_id", "label",
                     F.round(dot / (nrm * F.lit(pn)), 4).alias("cosine"))
             .orderBy(F.desc("cosine"), "vec_id").limit(10))
