@@ -162,6 +162,10 @@ def kg_throughput(sf_dir: str, cpus: int, entry_mod,
     from nobletools_spark.pipeline.documents import interleave_flat_documents
     from nobletools_spark.pipeline.stages import run_pipeline
 
+    # canary OUTSIDE the JVM's lifetime but inside the pinned cpuset: a
+    # spin while the session is alive competes with the JVM's background
+    # threads on the 2-core probe and reads false-loud on an idle host
+    c_pre = min(_canary_py_spin() for _ in range(2))
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -184,11 +188,6 @@ def kg_throughput(sf_dir: str, cpus: int, entry_mod,
 
         n_docs = base_docs * replicate
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
-        # canary ON THE PROBE'S OWN (pinned) CORES, bracketing the timed
-        # region: the parent's pre/post-draw canaries sample moments
-        # outside the probe subprocesses and can miss contention that
-        # lands mid-probe — the residual draw-to-draw spread source
-        c_pre = min(_canary_py_spin() for _ in range(2))
         best = None
         n_triples = 0
         for _ in range(max(repeats, 1)):
@@ -197,15 +196,18 @@ def kg_throughput(sf_dir: str, cpus: int, entry_mod,
             n_triples = out["triples"].count()
             sec = time.time() - t0
             best = sec if best is None else min(best, sec)
-        c_post = min(_canary_py_spin() for _ in range(2))
-        quiet = max(c_pre, c_post) <= CANARY_REF_PY_SEC * CANARY_MAX_RATIO
-        return {"cpus": cpus, "sec": round(best, 3), "docs": n_docs,
-                "triples": n_triples,
-                "docs_per_sec": round(n_docs / best, 1) if best > 0 else None,
-                "canary_pre": round(c_pre, 3), "canary_post": round(c_post, 3),
-                "canary_ok": quiet}
+        result = {"cpus": cpus, "sec": round(best, 3), "docs": n_docs,
+                  "triples": n_triples,
+                  "docs_per_sec": round(n_docs / best, 1) if best > 0 else None}
     finally:
         spark.stop()
+    # post-canary after stop, same cpuset, no JVM — brackets the probe's
+    # whole wall-time on its own cores without the false-loud reading
+    c_post = min(_canary_py_spin() for _ in range(2))
+    result.update(
+        canary_pre=round(c_pre, 3), canary_post=round(c_post, 3),
+        canary_ok=max(c_pre, c_post) <= CANARY_REF_PY_SEC * CANARY_MAX_RATIO)
+    return result
 
 
 def run(sf_dir: str, cpus: int) -> dict:

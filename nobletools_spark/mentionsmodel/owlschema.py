@@ -236,9 +236,6 @@ def domain_schema_from_owl(xml_text: str,
     owl = parse_domain_owl(xml_text, imports)
 
     annotations = owl.descendants(ANNOTATION, with_self=False)
-    modifier_cls: set[str] = set()
-    for root in MODIFIER_ROOTS:
-        modifier_cls |= owl.descendants(root, with_self=True)
 
     # anchor class -> variables it anchors (getAnnotationVariables)
     anchored_by: dict[str, list[str]] = {}
