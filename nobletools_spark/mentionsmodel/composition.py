@@ -315,25 +315,54 @@ def compose(annotated: DataFrame, schema: DomainSchema,
                 return all(aug(s, set()) for s in sorted(slots))
             return pd.Series([ok(e) for e in edges])
 
-        matched = (annotated
-                   .join(F.broadcast(comp_df), "cui")
-                   .groupBy("doc_id", "sent_id", "var_name", "n_comp")
-                   .agg(F.countDistinct("component").alias("_found"),
-                        F.countDistinct("cui").alias("_n_cuis"),
-                        F.collect_set(F.struct(
-                            F.col("component").alias("slot"),
-                            F.col("cui").alias("cui"))).alias("_edges"),
-                        F.min("start").alias("start"),
-                        F.max("end").alias("end"))
-                   # every slot filled AND at least n_comp distinct
-                   # mention classes (getCompoundAnchors:748-752
-                   # possibleArgs.size() >= compoundRestrictions.length)
-                   # — cheap JVM prefilter; the exact per-slot distinct
-                   # assignment is verified on the survivors
-                   .where((F.col("_found") == F.col("n_comp"))
-                          & (F.col("_n_cuis") >= F.col("n_comp")))
-                   .where(_has_distinct_assignment("_edges"))
-                   .drop("_edges"))
+        def _match_compounds(mentions: DataFrame) -> DataFrame:
+            return (mentions
+                    .join(F.broadcast(comp_df), "cui")
+                    .groupBy("doc_id", "sent_id", "var_name", "n_comp")
+                    .agg(F.countDistinct("component").alias("_found"),
+                         F.countDistinct("cui").alias("_n_cuis"),
+                         F.collect_set(F.struct(
+                             F.col("component").alias("slot"),
+                             F.col("cui").alias("cui"))).alias("_edges"),
+                         F.min("start").alias("start"),
+                         F.max("end").alias("end"))
+                    # every slot filled AND at least n_comp distinct
+                    # mention classes (getCompoundAnchors:748-752
+                    # possibleArgs.size() >= compoundRestrictions.length)
+                    # — cheap JVM prefilter; the exact per-slot distinct
+                    # assignment is verified on the survivors
+                    .where((F.col("_found") == F.col("n_comp"))
+                           & (F.col("_n_cuis") >= F.col("n_comp")))
+                    .where(_has_distinct_assignment("_edges"))
+                    .drop("_edges", "_found", "_n_cuis"))
+
+        proj = annotated.select("doc_id", "sent_id", "cui", "start", "end")
+        matched = _match_compounds(proj)
+
+        # Compound-of-compound fixpoint (the reference's do/while at
+        # getCompoundAnchors:729-790: a found compound enters mentionMap
+        # and can fill another compound's argument slot). Only iterate
+        # when some compound class actually appears among another's slot
+        # roots' closures — static schema knowledge, so the common case
+        # pays nothing. Each round feeds found compounds back as
+        # sentence-scoped pseudo-mentions; rounds are bounded by the
+        # compound-class count (each round must find a NEW class).
+        comp_names = {v.name for v in schema.variables
+                      if v.components or v.component_slots}
+        slot_cuis = {cui for cui, _, _, _ in comp_rows}
+        if comp_names & slot_cuis:
+            matched = matched.localCheckpoint(eager=True)
+            for _ in range(len(comp_names) - 1):
+                pseudo = matched.select(
+                    "doc_id", "sent_id", F.col("var_name").alias("cui"),
+                    "start", "end")
+                nxt = _match_compounds(proj.unionByName(pseudo)) \
+                    .localCheckpoint(eager=True)
+                if nxt.count() == matched.count():
+                    matched = nxt
+                    break
+                matched = nxt
+
         comp_inst = matched.select(
             F.concat_ws("#", "doc_id", "var_name",
                         F.col("start").cast("string"),

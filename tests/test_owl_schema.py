@@ -322,6 +322,9 @@ COMPOUND_DEFS = {
     "Comp2": [("A",), ("B",)],
     "CompU": [("A", "B"), ("C",)],
     "Comp3": [("A",), ("A",), ("C",)],       # overlapping slots: SDR matters
+    # compound-of-compound: exercises the do/while fixpoint
+    # (getCompoundAnchors:729-790 — a found compound fills another's slot)
+    "Meta": [("Comp2",), ("D",)],
 }
 
 
@@ -363,18 +366,22 @@ class TestCompoundDifferential:
             ref = reference_compound_loop(order, COMPOUND_DEFS, DESC)
             ours = spark_results.get(doc, set())
             assert ref <= ours, (doc, order, ref, ours)
+            # a fired compound is itself available as a mention for
+            # OTHER compounds' slots (the fixpoint)
             for extra in ours - ref:
                 # divergence must be the ordering artifact only: a
                 # distinct assignment DOES exist for this compound
+                avail = set(order) | (ours - {extra})
                 assert distinct_assignment_exists(
-                    set(order), COMPOUND_DEFS[extra], DESC), \
+                    avail, COMPOUND_DEFS[extra], DESC), \
                     (doc, order, extra)
                 diverged += 1
             for comp, slots in COMPOUND_DEFS.items():
                 if comp not in ours:
                     # never silently missing: no distinct assignment
+                    # even with every fired compound available
                     assert not distinct_assignment_exists(
-                        set(order), slots, DESC), (doc, order, comp)
+                        set(order) | ours, slots, DESC), (doc, order, comp)
         # the oracle must have exercised real agreement, not just trivia
         fired_total = sum(len(v) for v in spark_results.values())
         agreed = fired_total - diverged
