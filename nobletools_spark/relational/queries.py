@@ -1810,3 +1810,54 @@ def dedup_keep_list(spark, sf):
     from ..textdata.dedup import dedup_representatives
     d = _spread(spark, load(spark, sf, "documents"))
     return dedup_representatives(d, threshold=0.8).orderBy("doc_id")
+
+
+@_q("line_dedup_stats", """
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) ||
+         'SHARED BOILERPLATE ' || CAST(doc_id % 7 AS VARCHAR) ||
+         chr(10) || chr(10) ||
+         'unique tail ' || md5(CAST(doc_id AS VARCHAR)) AS t
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ls) + 1),
+                i -> struct_pack(pos := i, line := ls[CAST(i AS INT)])),
+                recursive := true)
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug)),
+m AS (
+  SELECT doc_id, pos, line,
+         (length(trim(line)) > 0)
+         AND (min(doc_id) OVER (PARTITION BY md5(trim(line)))
+              <> max(doc_id) OVER (PARTITION BY md5(trim(line)))) AS is_dup
+  FROM l)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_dropped,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT is_dup), '')) AS clean_md5
+FROM m GROUP BY doc_id ORDER BY doc_id
+""")
+def line_dedup_stats(spark, sf):
+    # CCNet/RefinedWeb-style line-level boilerplate removal: the corpus
+    # has no newlines, so each document is deterministically augmented
+    # with one SHARED line (keyed doc_id % 7 — cross-document duplicate
+    # by construction), a blank line (must never count as boilerplate),
+    # and one unique tail; both engines build the identical text, drop
+    # cross-document duplicate lines, and compare counts + the md5 of
+    # the reassembled text.
+    from ..textdata.analysis import line_dedup
+    d = load(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit("\n"),
+            F.lit("SHARED BOILERPLATE "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n\n"), F.lit("unique tail "),
+            F.md5(F.col("doc_id").cast("string"))).alias("text"))
+    return (line_dedup(aug)
+            .select("doc_id", "n_lines", "n_dropped",
+                    F.md5("clean").alias("clean_md5"))
+            .orderBy("doc_id"))

@@ -225,3 +225,34 @@ def ngram_overlap_pairs(train: DataFrame, evalset: DataFrame,
     return (t.join(e, "gh")
             .groupBy("train_id", "eval_id")
             .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+# -------------------------------------------------- line-level dedup ----
+# CCNet/RefinedWeb-style boilerplate removal: a LINE that appears
+# verbatim in more than one document (nav menus, footers, cookie
+# banners) is dropped from every document carrying it. Two shuffles:
+# one on the line hash (the ">=2 distinct docs" test is running
+# min/max over the hash window — never a collect_set, same hot-key
+# posture as substring_dup_spans), one on doc_id to reassemble.
+
+def line_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_lines, n_dropped, clean): documents with
+    cross-document duplicate lines removed. Blank/whitespace lines are
+    never treated as boilerplate (every document has them; dropping
+    them would destroy structure)."""
+    from pyspark.sql.window import Window
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    w = Window.partitionBy(F.md5(F.trim(F.col("line"))))
+    marked = lines.withColumn(
+        "is_dup",
+        (F.length(F.trim("line")) > 0)
+        & (F.min("doc_id").over(w) != F.max("doc_id").over(w)))
+    kept = F.filter(F.array_sort(F.collect_list(
+        F.struct("pos", "line", "is_dup"))), lambda s: ~s["is_dup"])
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+                 F.array_join(F.transform(kept, lambda s: s["line"]), "\n")
+                 .alias("clean")))

@@ -517,3 +517,29 @@ class TestDedupRepresentatives:
         rows = {r.doc_id: r for r in
                 D.dedup_representatives(df, threshold=0.5).collect()}
         assert rows[3].keep and not rows[7].keep
+
+
+class TestLineDedup:
+    def test_shared_lines_dropped_blanks_kept(self, spark):
+        df = spark.createDataFrame(
+            [(1, "unique alpha\nSHARED FOOTER\n\nown tail one"),
+             (2, "unique beta\nSHARED FOOTER\n\nown tail two"),
+             (3, "entirely original\n\nno shared content")],
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in A.line_dedup(df).collect()}
+        assert rows[1].n_dropped == 1 and rows[2].n_dropped == 1
+        assert "SHARED FOOTER" not in rows[1].clean
+        # blank line survives (never boilerplate), order preserved
+        assert rows[1].clean == "unique alpha\n\nown tail one"
+        assert rows[3].n_dropped == 0
+        assert rows[3].clean == "entirely original\n\nno shared content"
+
+    def test_whitespace_variants_match(self, spark):
+        # the line key trims, so indentation variants still collide
+        df = spark.createDataFrame(
+            [(1, "  COOKIE BANNER  \nkeep me"),
+             (2, "COOKIE BANNER\nother text")],
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in A.line_dedup(df).collect()}
+        assert rows[1].n_dropped == 1 and rows[2].n_dropped == 1
+        assert rows[1].clean == "keep me"
