@@ -212,3 +212,57 @@ def write_html_reports(documents: DataFrame, mentions: DataFrame,
     with open(os.path.join(path, "index.html"), "w") as f:
         f.write(_HTML_HEAD.format(title="Coded reports") + links
                 + "</body></html>\n")
+
+
+def composition_results(instances: DataFrame, failed: DataFrame,
+                        mentions: DataFrame | None = None) -> DataFrame:
+    """The Composition TSV flavor (CSVExporter.export(Composition):151-181
+    + write:164-180): one LONG-FORMAT row per annotation-variable
+    property — accepted variables first, then rejected, numbered per
+    document — with columns (doc, type, n, variable, prop, value,
+    annotations). Every variable emits its ``hasAnchor`` row (value =
+    the anchor CUI) plus one row per filled modifier slot, exactly the
+    reference's per-property expansion. Pass the pipeline's ``mentions``
+    frame to resolve each anchor's "text/offset" annotation string
+    (CSVExporter.getAnnotations:188-199); without it the column is
+    empty, never wrong.
+
+    Distributed shape: one explode over the (small) modifier maps, an
+    optional broadcast-ish join back to mentions on (doc, cui, span),
+    and one per-doc window for the reference's sequential numbering."""
+    from pyspark.sql.window import Window
+
+    def rows(df: DataFrame, typ: str) -> DataFrame:
+        anchor = df.select(
+            "doc_id", F.lit(typ).alias("type"), "var_name",
+            F.lit("hasAnchor").alias("prop"), F.col("cui").alias("value"),
+            "cui", "start", "end")
+        mods = (df.select("doc_id", F.lit(typ).alias("type"), "var_name",
+                          F.explode("modifiers").alias("prop", "value"),
+                          "cui", "start", "end"))
+        return anchor.unionByName(mods)
+
+    acc = rows(instances, "Accepted")
+    rej = rows(failed.select("doc_id", "var_name", "cui", "start", "end",
+                             "modifiers"), "Rejected")
+    out = acc.unionByName(rej)
+    if mentions is not None:
+        ann = mentions.select(
+            "doc_id", "cui", "start", "end",
+            F.concat_ws("/", F.col("matched_term"),
+                        F.col("start").cast("string")).alias("annotations"))
+        out = out.join(ann, ["doc_id", "cui", "start", "end"], "left")
+    else:
+        out = out.withColumn("annotations", F.lit(""))
+    # the reference numbers variables sequentially per document,
+    # accepted block first (export(Composition):153-159); rows of one
+    # variable share its n
+    w_var = Window.partitionBy("doc_id").orderBy(
+        F.col("type"),          # "Accepted" < "Rejected"
+        "start", "end", "var_name")
+    n = F.dense_rank().over(w_var)
+    return (out.select(
+        F.col("doc_id").alias("doc"), "type", n.alias("n"),
+        F.col("var_name").alias("variable"), "prop", "value",
+        F.coalesce("annotations", F.lit("")).alias("annotations"))
+        .orderBy("doc", "n", "prop"))

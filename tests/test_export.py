@@ -106,3 +106,55 @@ def test_html_export_pages_and_index(spark, tmp_path):
           "modifiers": {"Polarity": "Negative_Polarity"}}], title="t")
     assert "&lt;evidence&gt;" in html
     assert 'class="m neg"' in html and ">melanoma</span>" in html
+
+
+def test_composition_results_long_format(spark):
+    """CSVExporter.export(Composition):151-181 shape: accepted block
+    first, per-property long-format rows, hasAnchor row per variable,
+    per-doc sequential numbering, mention-resolved annotations."""
+    from nobletools_spark.config import for_search_method
+    from nobletools_spark.context.lexicon import modifier_dictionary
+    from nobletools_spark.mentionsmodel.composition import (DomainSchema,
+                                                            VariableDef,
+                                                            compose)
+    from nobletools_spark.pipeline.documents import DOCUMENTS_SCHEMA
+    from nobletools_spark.pipeline.export import composition_results
+    from nobletools_spark.pipeline.stages import (annotate_documents,
+                                                  detect_mentions,
+                                                  split_sentences)
+
+    schema = DomainSchema(variables=[
+        VariableDef(name="Finding", anchor_cuis=("C0012634",),
+                    required=(("Polarity", ()),)),
+        VariableDef(name="ImpossibleFinding", anchor_cuis=("C0012634",),
+                    required=(("Polarity", ("NO_SUCH_VALUE",)),)),
+    ])
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": "No evidence of melanoma.",
+                  "media_ref": "", "offset": 0}])],
+        schema=DOCUMENTS_SCHEMA)
+    dico = fixture_dictionary()
+    sents = split_sentences(docs)
+    ann = annotate_documents(
+        sents, spark.sparkContext.broadcast(dico),
+        spark.sparkContext.broadcast(modifier_dictionary()),
+        for_search_method("best-match"))
+    out = compose(ann, schema, dico)
+    mentions = detect_mentions(
+        sents, spark.sparkContext.broadcast(dico))
+    rows = composition_results(out["instances"], out["failed"],
+                               mentions).collect()
+    accepted = [r for r in rows if r.type == "Accepted"]
+    rejected = [r for r in rows if r.type == "Rejected"]
+    # the satisfied Finding emits hasAnchor + its modifier rows; the
+    # impossible one lands in the rejected block
+    assert {r.variable for r in accepted} == {"Finding"}
+    assert {r.variable for r in rejected} == {"ImpossibleFinding"}
+    anchor = [r for r in accepted if r.prop == "hasAnchor"]
+    assert len(anchor) == 1 and anchor[0].value == "C0025202"
+    assert any(r.prop == "Polarity" and r.value == "Negative_Polarity"
+               for r in accepted)
+    # accepted numbering precedes rejected within the doc
+    assert max(r.n for r in accepted) < min(r.n for r in rejected)
+    # annotations resolve through the mentions frame as text/offset
+    assert anchor[0].annotations.startswith("melanoma/")
