@@ -331,6 +331,12 @@ def run(sf_dir: str, cpus: int) -> dict:
         # min-merge across headline passes: a pass re-run because its
         # post-canary came back loud can only LOWER a query's floor
         t = best_of(fn)
+        # a contention spike can hit ONE query inside an otherwise quiet
+        # block (observed: 0.6 s query recorded at 15.9 s while the
+        # block's bracket closed clean) — a quick spin right after the
+        # timing detects the spike's tail and buys one retry
+        if _canary_py_spin() > CANARY_REF_PY_SEC * CANARY_MAX_RATIO:
+            t = min(t, best_of(fn))
         results[name] = min(results.get(name, t), t)
 
     def _kg():
