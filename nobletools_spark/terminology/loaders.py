@@ -221,8 +221,16 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
         "codes")
 
     # MRHIER: PTR is the AUI path from root; the immediate parent is PAUI.
+    # Optional, like MRDEF: a distribution without hierarchy (e.g. one
+    # produced by rrf_export — the reference's exportRRF writes no
+    # MRHIER either) loads with empty edges/roots.
     aui2cui = conso.select("AUI", F.col("CUI").alias("_cui")).distinct()
-    hier = read_rrf(spark, f"{rrf_dir}/MRHIER.RRF", MRHIER_COLS)
+    try:
+        hier = read_rrf(spark, f"{rrf_dir}/MRHIER.RRF", MRHIER_COLS)
+    except Exception:
+        hier = spark.createDataFrame(
+            [], ST.StructType([ST.StructField(c, ST.StringType(), True)
+                               for c in MRHIER_COLS]))
     edges = (hier.where(F.col("PAUI").isNotNull() & (F.col("PAUI") != ""))
              .join(aui2cui, hier.AUI == aui2cui.AUI)
              .withColumnRenamed("_cui", "child_cui")

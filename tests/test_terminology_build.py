@@ -415,3 +415,89 @@ class TestProtectedPeriodTerms:
         assert sp.word_map == py.word_map
         assert sp.word_stats == py.word_stats
         assert sp.term_map == py.term_map
+
+
+class TestRrfExport:
+    """The write half of A2 (ConceptExporter.exportRRF:241-380): a
+    terminology exports to MRCONSO/MRSTY/MRDEF/MRSAB + CUI2CODE and
+    round-trips through load_rrf with no lexical/semantic loss."""
+
+    @pytest.fixture(scope="class")
+    def round_trip(self, spark, tmp_path_factory):
+        from nobletools_spark.terminology.loaders import load_rrf
+        from nobletools_spark.terminology.rrf_export import export_rrf
+        dico = fixture_dictionary()
+        rows = [(c.cui, c.name, list(c.synonyms), list(c.sem_types),
+                 list(c.sources), [list(t) for t in c.terms],
+                 list(c.definitions), [list(x) for x in c.codes])
+                for c in dico.concepts.values()]
+        concepts = spark.createDataFrame(
+            rows, "cui string, name string, synonyms array<string>, "
+                  "sem_types array<string>, sources array<string>, "
+                  "terms array<struct<text:string,form:string>>, "
+                  "definitions array<string>, "
+                  "codes array<struct<source:string,code:string>>")
+        out = str(tmp_path_factory.mktemp("rrf"))
+        tables = export_rrf(concepts, out)
+        back = load_rrf(spark, out)
+        c2c = {line.value.split("=")[0]: line.value.split("=", 1)[1]
+               for line in spark.read.text(f"{out}/CUI2CODE").collect()}
+        return dico, tables, back, c2c, out
+
+    def test_mrconso_shape(self, spark, round_trip):
+        _, tables, _, _, out = round_trip
+        # 18 pipe-delimited fields + trailing pipe, raw (no quoting)
+        line = spark.read.text(f"{out}/MRCONSO.RRF").first().value
+        assert line.endswith("|") and line.count("|") == 18
+
+    def test_every_concept_round_trips(self, round_trip):
+        dico, _, back, c2c, _ = round_trip
+        got = {r.cui: r for r in back["concepts"].collect()}
+        assert len(got) == len(dico.concepts)
+        for new_cui, code in c2c.items():
+            orig = dico.concepts[code]
+            g = got[new_cui]
+            # no lexical loss: synonyms out = synonyms + name + term texts
+            want = set(orig.synonyms) | {orig.name} | \
+                {t for t, _ in orig.terms}
+            assert set(g.synonyms) == want, code
+            assert sorted(g.sem_types or []) == sorted(orig.sem_types)
+            assert sorted(g.definitions or []) == \
+                sorted(orig.definitions), code
+
+    def test_umls_shaped_cuis_pass_through(self, round_trip):
+        _, _, _, c2c, _ = round_trip
+        for new_cui, code in c2c.items():
+            import re
+            if re.fullmatch(r"[A-Z]\d{7}", code):
+                assert new_cui == code          # getCUI:408-410
+            else:
+                assert re.fullmatch(r"C\d{7}", new_cui)
+
+    def test_lui_shared_by_normalized_variants(self, spark, round_trip):
+        """Equal normalized strings share one LUI (getLUI:393-400)."""
+        _, tables, _, _, _ = round_trip
+        from nobletools_spark.text.tools import normalize
+        rows = tables["MRCONSO"].select("LUI", "STR").collect()
+        by_norm: dict[str, set] = {}
+        for r in rows:
+            by_norm.setdefault(normalize(r.STR), set()).add(r.LUI)
+        assert all(len(v) == 1 for v in by_norm.values())
+
+    def test_matcher_equivalence_after_round_trip(self, spark, round_trip):
+        """The re-loaded terminology codes text identically (modulo the
+        CUI remap) — the actual user contract of an export."""
+        from nobletools_spark.matcher.core import search
+        dico, _, back, c2c, _ = round_trip
+        concepts2 = [r.asDict(recursive=True)
+                     for r in back["concepts"].collect()]
+        for c in concepts2:
+            c["terms"] = [(t["text"], t["form"]) for t in c["terms"]]
+            c["codes"] = {}
+        d2 = build_dictionary(concepts2)
+        for q in ("malignant melanoma", "deep margin biopsy",
+                  "no evidence of dcis"):
+            a = {c2c.get(h["cui"], h["cui"]) for h in
+                 search(q, d2, "best-match")}
+            b = {h["cui"] for h in search(q, dico, "best-match")}
+            assert a == b, q
