@@ -64,13 +64,10 @@ def _normalized(text: pd.Series) -> pd.Series:
     return text.map(lambda t: normalize(t or ""))
 
 
-def export_rrf(concepts: DataFrame, out_dir: str,
-               language: str = "ENG") -> dict[str, DataFrame]:
-    """``concepts`` in the loader/build shape (cui, name, synonyms,
-    sem_types, sources, terms[(text, form)], definitions, codes
-    [(source, code)]) -> RRF files under ``out_dir`` plus the row
-    DataFrames (for tests / further writes). Like the reference
-    exporter, hierarchy is NOT exported (exportRRF writes no MRHIER)."""
+def _prepare(concepts: DataFrame):
+    """Shared atom/id machinery for both export flavors: (base frame with
+    CUI assigned, per-atom frame with LUI/SUI joined, sab/scode column
+    builders)."""
     # the source frame's "cui" is really the concept CODE (getCUI takes
     # c.getCode()); rename up front so the emitted CUI column never
     # collides with it under case-insensitive resolution
@@ -78,12 +75,11 @@ def export_rrf(concepts: DataFrame, out_dir: str,
     cui_map = _rank_ids(src, "src_code", "CUI", "C%07d", _CUI_SHAPE)
     base = src.join(cui_map, "src_code")
 
-    # ---- MRCONSO: one row per term atom (exportRRF:262-288) ----
-    # The reference Concept guarantees every synonym has a Term atom
-    # (Concept.getTerms builds them from synonyms); hand-built
-    # ConceptMeta rows may declare only SOME terms — export the declared
-    # terms plus an atom for the name (PT) / any uncovered synonym (SY)
-    # so no lexical content is lost in the round trip.
+    # one row per term atom (exportRRF:262-288). The reference Concept
+    # guarantees every synonym has a Term atom (Concept.getTerms builds
+    # them from synonyms); hand-built ConceptMeta rows may declare only
+    # SOME terms — export the declared terms plus an atom for the name
+    # (PT) / any uncovered synonym (SY) so no lexical content is lost.
     empty_t = F.array().cast("array<struct<text:string,form:string>>")
     terms_norm = F.coalesce("terms", empty_t)
     covered = F.transform(terms_norm, lambda t: t["text"])
@@ -102,21 +98,48 @@ def export_rrf(concepts: DataFrame, out_dir: str,
         .select("CUI", "name", "sources", "codes",
                 F.col("t.text").alias("STR"),
                 F.coalesce(F.col("t.form"), F.lit("SY")).alias("TTY")))
-    is_pref = (F.col("TTY") == "PT") | (F.col("STR") == F.col("name"))
-    # source: the term's source if modeled, else the concept's first
-    # (exportRRF:264-266); our term tuples carry no per-term source
-    sab = F.coalesce(F.element_at("sources", 1), F.lit(""))
-    scode = F.coalesce(
-        F.element_at(F.map_from_entries("codes"), sab), F.col("CUI"))
-
     lui_src = atoms.select("STR").distinct() \
         .withColumn("_norm", _normalized("STR"))
     lui_map = _rank_ids(lui_src.select("_norm"), "_norm", "LUI", "L%07d") \
         .join(lui_src, "_norm").select("STR", "LUI")
     sui_map = _rank_ids(atoms, "STR", "SUI", "S%07d")
+    atoms = atoms.join(lui_map, "STR").join(sui_map, "STR")
+    return base, atoms
+
+
+def _write_pipe(tables: dict[str, DataFrame], out_dir: str,
+                suffix: str) -> None:
+    for name, df in tables.items():
+        line = F.concat(F.concat_ws("|", *df.columns), F.lit("|"))
+        (df.orderBy(*df.columns[:2]).select(line.alias("value"))
+         .coalesce(1).write.mode("overwrite")
+         .text(f"{out_dir}/{name}{suffix}"))
+
+
+# source: the term's source if modeled, else the concept's first
+# (exportRRF:264-266); our term tuples carry no per-term source
+def _sab():
+    return F.coalesce(F.element_at("sources", 1), F.lit(""))
+
+
+def _scode():
+    return F.coalesce(
+        F.element_at(F.map_from_entries("codes"), _sab()), F.col("CUI"))
+
+
+def export_rrf(concepts: DataFrame, out_dir: str,
+               language: str = "ENG") -> dict[str, DataFrame]:
+    """``concepts`` in the loader/build shape (cui, name, synonyms,
+    sem_types, sources, terms[(text, form)], definitions, codes
+    [(source, code)]) -> RRF files under ``out_dir`` plus the row
+    DataFrames (for tests / further writes). Like the reference
+    exporter, hierarchy is NOT exported (exportRRF writes no MRHIER)."""
+    base, atoms = _prepare(concepts)
+    is_pref = (F.col("TTY") == "PT") | (F.col("STR") == F.col("name"))
+    sab, scode = _sab(), _scode()
 
     w_aui = Window.orderBy("CUI", "SUI", "TTY")
-    mrconso = (atoms.join(lui_map, "STR").join(sui_map, "STR")
+    mrconso = (atoms
                .withColumn("AUI", F.format_string(
                    "A%07d", F.row_number().over(w_aui) - 1))
                .select(
@@ -155,10 +178,46 @@ def export_rrf(concepts: DataFrame, out_dir: str,
 
     tables = {"MRCONSO": mrconso, "MRDEF": mrdef, "MRSTY": mrsty,
               "MRSAB": mrsab}
-    for name, df in tables.items():
-        line = F.concat(F.concat_ws("|", *df.columns), F.lit("|"))
-        (df.orderBy(*df.columns[:2]).select(line.alias("value"))
-         .coalesce(1).write.mode("overwrite").text(f"{out_dir}/{name}.RRF"))
+    _write_pipe(tables, out_dir, ".RRF")
     cui2code.coalesce(1).write.mode("overwrite") \
         .text(f"{out_dir}/CUI2CODE")
+    return tables
+
+
+def export_orf(concepts: DataFrame, out_dir: str,
+               language: str = "ENG") -> dict[str, DataFrame]:
+    """The legacy Original-Release-Format flavor
+    (``ConceptExporter.exportORF:68-238``): MRCON (8 fields: atom rows
+    without source), MRSO (7 fields: the atom->source/code side), MRSTY
+    (4 fields), MRDEF (4 fields), MRSAB + CUI2CODE. Same atoms and id
+    assignment as ``export_rrf``; TTY degrades to the ORF PT/NP pair
+    (exportORF:110) exactly like the reference."""
+    base, atoms = _prepare(concepts)
+    is_pref = (F.col("TTY") == "PT") | (F.col("STR") == F.col("name"))
+    sab, scode = _sab(), _scode()
+
+    mrcon = atoms.select(
+        "CUI", F.lit(language).alias("LAT"),
+        F.when(is_pref, "P").otherwise("S").alias("TS"), "LUI",
+        F.when(is_pref, "PF").otherwise("VO").alias("STT"), "SUI",
+        "STR", F.lit("0").alias("LRL"))
+    mrso = atoms.select(
+        "CUI", "LUI", "SUI", sab.alias("SAB"),
+        F.when(is_pref, "PT").otherwise("NP").alias("TTY"),
+        scode.alias("CODE"), F.lit("0").alias("SRL"))
+    mrdef = (base.select("CUI", "sources",
+                         F.explode("definitions").alias("DEF"))
+             .select("CUI", sab.alias("SAB"), "DEF"))
+    sty = base.select("CUI", F.explode("sem_types").alias("STY"))
+    tui_map = _rank_ids(sty, "STY", "TUI", "T%03d")
+    mrsty = sty.join(tui_map, "STY").select("CUI", "TUI", "STY")
+    mrsab = (base.select(F.explode("sources").alias("RSAB")).distinct()
+             .select(F.lit("").alias("VCUI"), F.lit("").alias("RCUI"),
+                     F.col("RSAB").alias("VSAB"), "RSAB",
+                     F.col("RSAB").alias("SON")))
+    tables = {"MRCON": mrcon, "MRSO": mrso, "MRSTY": mrsty,
+              "MRDEF": mrdef, "MRSAB": mrsab}
+    _write_pipe(tables, out_dir, "")
+    base.select(F.concat_ws("=", "CUI", "src_code").alias("line")) \
+        .coalesce(1).write.mode("overwrite").text(f"{out_dir}/CUI2CODE")
     return tables

@@ -501,3 +501,32 @@ class TestRrfExport:
                  search(q, d2, "best-match")}
             b = {h["cui"] for h in search(q, dico, "best-match")}
             assert a == b, q
+
+    def test_orf_flavor_shapes(self, spark, round_trip, tmp_path):
+        """exportORF:68-238 — MRCON 8 fields, MRSO 7, same atoms and ids
+        as the RRF flavor, PT/NP TTY degradation."""
+        from nobletools_spark.terminology.rrf_export import export_orf
+        dico, tables, _, _, _ = round_trip
+        rows = [(c.cui, c.name, list(c.synonyms), list(c.sem_types),
+                 list(c.sources), [list(t) for t in c.terms],
+                 list(c.definitions), [list(x) for x in c.codes])
+                for c in dico.concepts.values()]
+        concepts = spark.createDataFrame(
+            rows, "cui string, name string, synonyms array<string>, "
+                  "sem_types array<string>, sources array<string>, "
+                  "terms array<struct<text:string,form:string>>, "
+                  "definitions array<string>, "
+                  "codes array<struct<source:string,code:string>>")
+        out = str(tmp_path / "orf")
+        orf = export_orf(concepts, out)
+        con_line = spark.read.text(f"{out}/MRCON").first().value
+        so_line = spark.read.text(f"{out}/MRSO").first().value
+        assert con_line.count("|") == 8 and con_line.endswith("|")
+        assert so_line.count("|") == 7 and so_line.endswith("|")
+        # identical atom count and identical (CUI, LUI, SUI) triples as
+        # the RRF flavor — one id assignment, two serializations
+        rrf_keys = {(r.CUI, r.LUI, r.SUI)
+                    for r in tables["MRCONSO"].collect()}
+        orf_keys = {(r.CUI, r.LUI, r.SUI) for r in orf["MRCON"].collect()}
+        assert rrf_keys == orf_keys
+        assert {r.TTY for r in orf["MRSO"].collect()} <= {"PT", "NP"}
