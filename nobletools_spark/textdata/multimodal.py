@@ -235,3 +235,108 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     return (media.where(F.col("kind") == "video")
             .select("doc_id", "media_ref", idx.alias("frame_idx"))
             .withColumn("ts_ms", (F.col("frame_idx") * every_ms).cast("int")))
+
+
+# ------------------------------------------------------ audio headers ----
+
+AUDIO_SCHEMA = ST.StructType([
+    ST.StructField("doc_id", ST.LongType(), False),
+    ST.StructField("media_ref", ST.StringType(), False),
+    ST.StructField("channels", ST.IntegerType(), False),
+    ST.StructField("sample_rate", ST.IntegerType(), False),
+    ST.StructField("duration_ms", ST.IntegerType(), False),
+    ST.StructField("decoder", ST.StringType(), False),
+])
+
+
+def synth_wav(ref: str) -> bytes:
+    """Minimal VALID RIFF/WAVE (fmt + data chunks, silence payload);
+    channels/rate/length derive from sha256(media_ref) so tests and any
+    external checker recompute them from the hex digest."""
+    d = hashlib.sha256(ref.encode()).digest()
+    channels = 1 + d[0] % 2
+    rate = (8000, 16000, 44100)[d[1] % 3]
+    n_frames = 100 + d[2]                 # 100-355 frames
+    bits = 16
+    block = channels * bits // 8
+    data = b"\x00" * (n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block,
+                      bits)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _f80_to_int(b: bytes) -> int:
+    """80-bit IEEE 754 extended float (AIFF sample rate) -> int."""
+    sign = -1 if b[0] & 0x80 else 1
+    exp = ((b[0] & 0x7F) << 8 | b[1]) - 16383
+    mant = int.from_bytes(b[2:10], "big")
+    return int(sign * mant * 2.0 ** (exp - 63))
+
+
+def audio_header_meta(b: bytes) -> tuple[int, int, int, str] | None:
+    """REAL pure-stdlib audio header decode — (channels, sample_rate,
+    duration_ms, format) for RIFF/WAVE and AIFF containers, None
+    otherwise. Chunk walks over the published layouts; no audio library
+    involved."""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i, channels, rate, byte_rate, data_len = 12, None, None, None, None
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            clen = struct.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 8 + 16 <= len(b):
+                _, channels, rate, byte_rate, _, _ = struct.unpack(
+                    "<HHIIHH", b[i + 8:i + 24])
+            elif cid == b"data":
+                data_len = clen
+            i += 8 + clen + (clen & 1)
+        if channels and rate and byte_rate and data_len is not None:
+            return (channels, rate,
+                    int(data_len * 1000 / byte_rate), "wav-header")
+    if len(b) >= 12 and b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            clen = struct.unpack(">I", b[i + 4:i + 8])[0]
+            if cid == b"COMM" and i + 8 + 18 <= len(b):
+                channels, n_frames = struct.unpack(">HI", b[i + 8:i + 14])
+                rate = _f80_to_int(b[i + 16:i + 26])
+                if channels and rate:
+                    return (channels, rate,
+                            int(n_frames * 1000 / rate), "aiff-header")
+            i += 8 + clen + (clen & 1)
+    return None
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio decode step (narrow mapInPandas over the audio rows): the
+    real WAV/AIFF header walk, falling back to a MARKED deterministic
+    fake for unrecognized containers — the same honesty contract as
+    ``decode_images``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "media_ref", "channels",
+                                    "sample_rate", "duration_ms",
+                                    "decoder")}
+            for doc_id, ref, content in zip(pdf["doc_id"], pdf["media_ref"],
+                                            pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                got = audio_header_meta(b)
+                if got is None:
+                    h = hashlib.blake2b(b, digest_size=6).digest()
+                    got = (1 + h[0] % 2, 8000 * (1 + h[1] % 5),
+                           500 + h[2] * 16, "stub")
+                ch, rate, dur, dec = got
+                rows["doc_id"].append(doc_id)
+                rows["media_ref"].append(ref)
+                rows["channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["duration_ms"].append(dur)
+                rows["decoder"].append(dec)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return (media.where(F.col("kind") == "audio")
+            .mapInPandas(gen, schema=AUDIO_SCHEMA))

@@ -543,3 +543,45 @@ class TestLineDedup:
         rows = {r.doc_id: r for r in A.line_dedup(df).collect()}
         assert rows[1].n_dropped == 1 and rows[2].n_dropped == 1
         assert rows[1].clean == "keep me"
+
+
+class TestAudioDecode:
+    def test_wav_header_real_decode(self, spark):
+        refs = [f"audio://{i}.wav" for i in range(8)]
+        import hashlib as H
+        rows = [(i, r, "audio", bytearray(M.synth_wav(r)))
+                for i, r in enumerate(refs)]
+        media = spark.createDataFrame(
+            rows, "doc_id long, media_ref string, kind string, "
+                  "content binary")
+        got = {r.media_ref: r for r in M.decode_audio(media).collect()}
+        assert len(got) == 8
+        for ref in refs:
+            d = H.sha256(ref.encode()).digest()
+            want_ch = 1 + d[0] % 2
+            want_rate = (8000, 16000, 44100)[d[1] % 3]
+            n_frames = 100 + d[2]
+            r = got[ref]
+            assert r.decoder == "wav-header"
+            assert r.channels == want_ch and r.sample_rate == want_rate
+            assert r.duration_ms == int(
+                n_frames * (want_ch * 2) * 1000
+                / (want_rate * want_ch * 2))
+
+    def test_aiff_header(self, spark):
+        import struct as S
+        # hand-built AIFF: 2ch, 22050 Hz (80-bit extended), 441 frames
+        rate80 = bytes([0x40, 0x0D, 0xAC, 0x44, 0, 0, 0, 0, 0, 0])
+        comm = S.pack(">HI", 2, 441) + S.pack(">H", 16) + rate80
+        body = b"AIFFCOMM" + S.pack(">I", len(comm)) + comm
+        b = b"FORM" + S.pack(">I", len(body)) + body
+        ch, rate, dur, fmt = M.audio_header_meta(b)
+        assert (ch, rate, fmt) == (2, 22050, "aiff-header")
+        assert dur == int(441 * 1000 / 22050)
+
+    def test_unrecognized_marked_stub(self, spark):
+        media = spark.createDataFrame(
+            [(1, "x://noise", "audio", bytearray(b"not audio at all"))],
+            "doc_id long, media_ref string, kind string, content binary")
+        r = M.decode_audio(media).collect()[0]
+        assert r.decoder == "stub" and r.sample_rate > 0
