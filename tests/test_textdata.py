@@ -585,3 +585,40 @@ class TestAudioDecode:
             "doc_id long, media_ref string, kind string, content binary")
         r = M.decode_audio(media).collect()[0]
         assert r.decoder == "stub" and r.sample_rate > 0
+
+
+class TestVideoMeta:
+    def test_mp4_mvhd_real_decode(self, spark):
+        import hashlib as H
+        refs = [f"video://{i}.mp4" for i in range(6)]
+        rows = [(i, r, "video", bytearray(M.synth_mp4(r)))
+                for i, r in enumerate(refs)]
+        media = spark.createDataFrame(
+            rows, "doc_id long, media_ref string, kind string, "
+                  "content binary")
+        got = {r.media_ref: r for r in M.video_meta(media).collect()}
+        for ref in refs:
+            d = H.sha256(ref.encode()).digest()
+            ts = (600, 1000, 90000)[d[0] % 3]
+            want_ms = 1000 + (d[1] << 8 | d[2]) % 30000
+            # round-trip through the container's timescale quantization
+            want = int((want_ms * ts // 1000) * 1000 / ts)
+            r = got[ref]
+            assert r.decoder == "mp4-header" and r.duration_ms == want, ref
+
+    def test_mvhd_version1(self):
+        import struct as S
+        body = (b"\x01\x00\x00\x00" + S.pack(">QQ", 0, 0)
+                + S.pack(">IQ", 1000, 12345) + b"\x00" * 80)
+        mvhd = S.pack(">I", 8 + len(body)) + b"mvhd" + body
+        moov = S.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        b = S.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00" + moov
+        ts, ms, fmt = M.video_header_meta(b)
+        assert (ts, ms, fmt) == (1000, 12345, "mp4-header")
+
+    def test_unrecognized_marked_stub(self, spark):
+        media = spark.createDataFrame(
+            [(1, "x://noise", "video", bytearray(b"AVI nope"))],
+            "doc_id long, media_ref string, kind string, content binary")
+        r = M.video_meta(media).collect()[0]
+        assert r.decoder == "stub" and r.duration_ms >= 1000
