@@ -291,3 +291,30 @@ class TestIncrementalDedupRestart:
             str(tmp_path / "rstate" / "texts")).count()
         # b1 was NOT re-appended on restart
         assert state_2 == b1.count() + b2.count()
+
+
+class TestStreamingScrub:
+    def test_pii_scrub_stream_equals_batch(self, spark, tmp_path):
+        """pii_scrub is a stateless narrow map, so it runs UNCHANGED as a
+        streaming transformation — same plan, watermark-free."""
+        from nobletools_spark.textdata.analysis import pii_scrub
+        rows = [(i, f"doc {i} mail a{i}@x.example.com ip 10.0.0.{i % 256}")
+                for i in range(20)]
+        src = str(tmp_path / "piisrc")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        q = (pii_scrub(stream).writeStream.format("memory")
+             .queryName("scrubbed").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        got = {r.doc_id: r for r in
+               spark.sql("select * from scrubbed").collect()}
+        want = {r.doc_id: r for r in
+                pii_scrub(spark.read.parquet(src)).collect()}
+        assert set(got) == set(want) and len(got) == 20
+        for k in got:
+            assert got[k].clean == want[k].clean
+            assert (got[k].n_email, got[k].n_ip) == (1, 1)
