@@ -4,7 +4,7 @@
 ``queries()`` exposes the relational operator surface (SURVEY.md §2.J), the
 training-data-pipeline operators, and the KG pipeline stages; each callable
 takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()`` supplies the
-DuckDB-equivalent SQL for EVERY query (72/72) — the KG/NLP queries are
+DuckDB-equivalent SQL for EVERY query (73/73) — the KG/NLP queries are
 oracled by relational/kg_oracle.py's full SQL re-derivation of the
 best-match pipeline, on top of the pytest golden/round-trip suites.
 """
@@ -182,9 +182,9 @@ def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-window ordering: the driver evaluates the first 50 entries of
-    this dict. All 72 queries are oracle-backed; the 22 that cannot fit are
+    this dict. All 73 queries are oracle-backed; the 23 that cannot fit are
     explicitly demoted below (18 long-green relational queries with >=2
-    green driver rounds each, plus the 4 r4 additions slated for the r5
+    green driver rounds each, plus the 5 r4 additions slated for the r5
     window rotation) and stay covered by scripts/oracle_check.py under
     identical harness semantics."""
     all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -203,7 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_instances": _kg_instances,
     })
     with_oracle = set(oracle_sql())
-    # ALL 72 queries are oracle-backed but the driver checks only the
+    # ALL 73 queries are oracle-backed but the driver checks only the
     # first 50. Round-4 window ROTATION (VERDICT r3 #2): the 18 entries
     # below are long-green relational queries, each with >=2 green rows
     # in CORRECTNESS_r01/r02/r03 AND pytest-pinned semantics; demoting
@@ -227,7 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # rotate INTO the window in r5, same policy as the r3
               # additions rotated in this round
               "pii_scrub_stats", "ngram_overlap_pairs", "dedup_keep_list",
-              "line_dedup_stats")
+              "line_dedup_stats", "self_line_dedup_stats")
     def _shipped(fn):
         # every query may reach a pandas UDF whose closure imports the
         # package on executor workers — ship it regardless of driver cwd

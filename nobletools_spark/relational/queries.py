@@ -1861,3 +1861,54 @@ def line_dedup_stats(spark, sf):
             .select("doc_id", "n_lines", "n_dropped",
                     F.md5("clean").alias("clean_md5"))
             .orderBy("doc_id"))
+
+
+@_q("self_line_dedup_stats", """
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) ||
+         'REPEATED SECTION ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         'middle ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ||
+         chr(10) ||
+         'REPEATED SECTION ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ls) + 1),
+                i -> struct_pack(pos := i, line := ls[CAST(i AS INT)])),
+                recursive := true)
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug)),
+m AS (
+  SELECT doc_id, pos, line,
+         (length(trim(line)) > 0)
+         AND (row_number() OVER (PARTITION BY doc_id, md5(trim(line))
+                                 ORDER BY pos) > 1) AS is_dup
+  FROM l)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_dropped,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT is_dup), '')) AS clean_md5
+FROM m GROUP BY doc_id ORDER BY doc_id
+""")
+def self_line_dedup_stats(spark, sf):
+    # within-document repeated-line removal: each doc is augmented with
+    # a line that repeats INSIDE it (keyed by its own doc_id, so never
+    # cross-doc); the first occurrence must survive, the second drop,
+    # and both engines compare counts + the md5 of the reassembled text
+    from ..textdata.analysis import self_line_dedup
+    d = load(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit("\n"),
+            F.lit("REPEATED SECTION "), F.col("doc_id").cast("string"),
+            F.lit("\n"), F.lit("middle "),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            F.lit("\n"),
+            F.lit("REPEATED SECTION "),
+            F.col("doc_id").cast("string")).alias("text"))
+    return (self_line_dedup(aug)
+            .select("doc_id", "n_lines", "n_dropped",
+                    F.md5("clean").alias("clean_md5"))
+            .orderBy("doc_id"))

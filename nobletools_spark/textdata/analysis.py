@@ -256,3 +256,28 @@ def line_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
                  F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
                  F.array_join(F.transform(kept, lambda s: s["line"]), "\n")
                  .alias("clean")))
+
+
+def self_line_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_lines, n_dropped, clean): WITHIN-document repeated
+    lines collapsed to their first occurrence — the intra-doc half of
+    boilerplate cleanup (``line_dedup`` is the cross-doc half); think a
+    nav menu repeated between page sections. Blank lines always survive.
+    One doc_id shuffle: the first-occurrence test and the reassembly
+    share the same grouping."""
+    from pyspark.sql.window import Window
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    w = (Window.partitionBy("doc_id", F.md5(F.trim(F.col("line"))))
+         .orderBy("pos"))
+    marked = lines.withColumn(
+        "is_dup",
+        (F.length(F.trim("line")) > 0) & (F.row_number().over(w) > 1))
+    kept = F.filter(F.array_sort(F.collect_list(
+        F.struct("pos", "line", "is_dup"))), lambda s: ~s["is_dup"])
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+                 F.array_join(F.transform(kept, lambda s: s["line"]), "\n")
+                 .alias("clean")))

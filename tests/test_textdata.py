@@ -622,3 +622,23 @@ class TestVideoMeta:
             "doc_id long, media_ref string, kind string, content binary")
         r = M.video_meta(media).collect()[0]
         assert r.decoder == "stub" and r.duration_ms >= 1000
+
+
+class TestSelfLineDedup:
+    def test_first_occurrence_survives(self, spark):
+        df = spark.createDataFrame(
+            [(1, "NAV MENU\nreal content one\nNAV MENU\nreal content two"),
+             (2, "all\nunique\nlines")],
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in A.self_line_dedup(df).collect()}
+        assert rows[1].n_dropped == 1
+        assert rows[1].clean == \
+            "NAV MENU\nreal content one\nreal content two"
+        assert rows[2].n_dropped == 0 and rows[2].clean == \
+            "all\nunique\nlines"
+
+    def test_blank_lines_never_dropped(self, spark):
+        df = spark.createDataFrame([(1, "a\n\nb\n\nc")],
+                                   "doc_id long, text string")
+        r = A.self_line_dedup(df).collect()[0]
+        assert r.n_dropped == 0 and r.clean == "a\n\nb\n\nc"
