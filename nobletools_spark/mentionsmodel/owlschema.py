@@ -306,3 +306,78 @@ def domain_schema_from_owl(xml_text: str,
                 component_slots=tuple(slots)))
 
     return DomainSchema(variables=variables)
+
+
+def generate_domain_owl(anchors: "Sequence[str]",
+                        variable: str = "DataOpMention",
+                        required_modifiers: "Sequence[str]" = ("Polarity",),
+                        base: str = "http://example.org/nobletools/Generated.owl",
+                        ) -> str:
+    """Emit a self-contained NobleMentions-shaped domain ontology document
+    declaring one annotation variable anchored by every class in
+    ``anchors`` and requiring one ConText modifier slot per entry of
+    ``required_modifiers`` (any value — the restriction filler is the
+    modifier-type root itself).
+
+    This is the writer half of the schema round trip: a driver that wants
+    "variable X over these dictionary concepts with these modifier slots"
+    declares it as OWL and derives the :class:`DomainSchema` through
+    :func:`domain_schema_from_owl` — the same parse path a user-supplied
+    blulab Schema.owl/Domain.owl pair takes (reference semantics in
+    ``DomainOntology.java:59-67,1263-1272``) — instead of hand-building
+    ``VariableDef`` rows the reference has no analog for. Fragment names
+    must be XML NCNames (CUIs are).
+    """
+    from xml.sax.saxutils import quoteattr
+
+    def clause(tag: str, ref: str) -> str:
+        return f"    <{tag} rdf:resource={quoteattr('#' + ref)}/>"
+
+    lines = [
+        '<?xml version="1.0"?>',
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+        '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"',
+        '         xmlns:owl="http://www.w3.org/2002/07/owl#"',
+        f'         xml:base={quoteattr(base)}>',
+        f'  <owl:Ontology rdf:about={quoteattr(base)}/>',
+    ]
+    for root in (ANCHOR, PSEUDO_ANCHOR, COMPOUND_ANCHOR, ANNOTATION,
+                 *MODIFIER_ROOTS):
+        lines.append(f'  <owl:Class rdf:about={quoteattr("#" + root)}/>')
+    for prop in (IS_ANCHOR_OF, HAS_ANCHOR, "hasModifier"):
+        lines.append(
+            f'  <owl:ObjectProperty rdf:about={quoteattr("#" + prop)}/>')
+    for mtype in required_modifiers:
+        lines += [
+            f'  <owl:ObjectProperty rdf:about={quoteattr("#has" + mtype)}>',
+            clause("rdfs:subPropertyOf", "hasModifier"),
+            '  </owl:ObjectProperty>',
+            f'  <owl:Class rdf:about={quoteattr("#" + mtype)}>',
+            clause("rdfs:subClassOf", "Modifier"),
+            '  </owl:Class>',
+        ]
+    for cui in anchors:
+        lines += [
+            f'  <owl:Class rdf:about={quoteattr("#" + cui)}>',
+            clause("rdfs:subClassOf", ANCHOR),
+            '    <rdfs:subClassOf>',
+            '      <owl:Restriction>',
+            f'        <owl:onProperty rdf:resource={quoteattr("#" + IS_ANCHOR_OF)}/>',
+            f'        <owl:someValuesFrom rdf:resource={quoteattr("#" + variable)}/>',
+            '      </owl:Restriction>',
+            '    </rdfs:subClassOf>',
+            '  </owl:Class>',
+        ]
+    lines.append(f'  <owl:Class rdf:about={quoteattr("#" + variable)}>')
+    lines.append(clause("rdfs:subClassOf", ANNOTATION))
+    for mtype in required_modifiers:
+        lines += [
+            '    <owl:equivalentClass>',
+            '      <owl:Restriction>',
+            f'        <owl:onProperty rdf:resource={quoteattr("#has" + mtype)}/>',
+            f'        <owl:someValuesFrom rdf:resource={quoteattr("#" + mtype)}/>',
+            '      </owl:Restriction>',
+            '    </owl:equivalentClass>',
+        ]
+    lines += ['  </owl:Class>', '</rdf:RDF>', '']
+    return "\n".join(lines)

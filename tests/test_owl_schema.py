@@ -425,3 +425,52 @@ class TestEndToEnd:
         assert fired["d2"] == {"Finding"}
         # d3: margin alone anchors nothing
         assert "d3" not in fired
+
+
+class TestGeneratedDomainOwl:
+    """Writer half of the round trip: generate_domain_owl emits a document
+    that domain_schema_from_owl parses back to exactly the declared
+    schema — this is the path the kg_instances entry query now takes."""
+
+    def test_round_trip_single_slot(self):
+        from nobletools_spark.mentionsmodel.owlschema import \
+            generate_domain_owl
+        xml = generate_domain_owl(["D0000002", "D0000001"])
+        s = domain_schema_from_owl(xml)
+        assert s == DomainSchema(variables=[VariableDef(
+            name="DataOpMention", anchor_cuis=("D0000001", "D0000002"),
+            required=(("Polarity", ()),))])
+
+    def test_round_trip_multi_slot_preserves_order(self):
+        from nobletools_spark.mentionsmodel.owlschema import \
+            generate_domain_owl
+        xml = generate_domain_owl(
+            ["C1"], variable="Var",
+            required_modifiers=("Experiencer", "Polarity", "Temporality"))
+        (v,) = domain_schema_from_owl(xml).variables
+        assert v.name == "Var"
+        assert v.anchor_cuis == ("C1",)
+        # slot order is declaration order (document order in the OWL)
+        assert v.required == (("Experiencer", ()), ("Polarity", ()),
+                              ("Temporality", ()))
+
+    def test_entry_schema_matches_hand_built(self):
+        """The generated-OWL derivation reproduces the VariableDef the
+        entry used to hand-build (anchor set = every dictionary CUI,
+        one any-value Polarity slot)."""
+        from nobletools_spark.mentionsmodel.owlschema import \
+            generate_domain_owl
+        from nobletools_spark.terminology.fixture import fixture_dictionary
+        dico = fixture_dictionary()
+        s = domain_schema_from_owl(generate_domain_owl(
+            sorted(dico.concepts), variable="DataOpMention",
+            required_modifiers=("Polarity",)))
+        assert s == DomainSchema(variables=[VariableDef(
+            name="DataOpMention", anchor_cuis=tuple(sorted(dico.concepts)),
+            required=(("Polarity", ()),))])
+
+    def test_document_is_well_formed_xml(self):
+        import xml.etree.ElementTree as ET
+        from nobletools_spark.mentionsmodel.owlschema import \
+            generate_domain_owl
+        ET.fromstring(generate_domain_owl(["A.1", "B-2", "C_3"]))
