@@ -135,29 +135,57 @@ class RemoteTerminology:
         records + BROADER isa edges in the shape ``build_dictionary`` /
         ``build_terminology`` consume — the import-then-code-locally flow
         the reference uses for remote vocabularies."""
-        concepts: list[dict] = []
-        edges: list[tuple[str, str]] = []
-        seen: set[str] = set()
-        frontier = [root_code]
-        while frontier and len(seen) < max_concepts:
-            code = frontier.pop(0)
-            if code in seen:
-                continue
-            seen.add(code)
-            c = self.lookup_concept(code)
-            if c is None:
-                continue
-            concepts.append(dict(
-                cui=c.cui, name=c.name, synonyms=list(c.synonyms),
-                sem_types=[], sources=list(c.sources),
-                terms=[(c.name, "PT")],
-                definitions=list(c.definitions), codes={}))
-            for child in self.related_concepts(code, "NARROWER"):
-                edges.append((child, code))
-                frontier.append(child)
-        ids = {c["cui"] for c in concepts}
-        return concepts, [(a, b) for a, b in edges
-                          if a in ids and b in ids]
+        return walk_subtree(self.lookup_concept,
+                            lambda code: self.related_concepts(code,
+                                                               "NARROWER"),
+                            root_code, max_concepts)
+
+
+def concept_record(c: ConceptMeta, terms_from_synonyms: bool = False) -> dict:
+    """ConceptMeta -> the record shape ``build_dictionary`` /
+    ``build_terminology`` consume. With ``terms_from_synonyms`` every
+    synonym becomes a term row (form from ``c.terms`` when present,
+    else SY), matching how the RRF loader expands atoms."""
+    if terms_from_synonyms and c.terms:
+        terms = [tuple(t) for t in c.terms]
+    elif terms_from_synonyms:
+        terms = [(s, "PT" if s == c.name else "SY") for s in c.synonyms]
+    else:
+        terms = [(c.name, "PT")]
+    return dict(cui=c.cui, name=c.name, synonyms=list(c.synonyms),
+                sem_types=list(c.sem_types), sources=list(c.sources),
+                terms=terms, definitions=list(c.definitions),
+                codes=dict(c.codes) if c.codes else {})
+
+
+def walk_subtree(lookup: Callable[[str], "ConceptMeta | None"],
+                 narrower: Callable[[str], list[str]],
+                 root_code: str, max_concepts: int = 10_000,
+                 terms_from_synonyms: bool = False,
+                 ) -> tuple[list[dict], list[tuple[str, str]]]:
+    """BFS over NARROWER edges from ``root_code``: concept records +
+    (child, parent) isa edges restricted to the imported id set. Shared
+    by every remote client that can enumerate children (BioPortal
+    SubClass relations, UMLS MRREL rows); bounded by ``max_concepts`` so
+    a cyclic or huge remote hierarchy cannot run away."""
+    concepts: list[dict] = []
+    edges: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    frontier = [root_code]
+    while frontier and len(seen) < max_concepts:
+        code = frontier.pop(0)
+        if code in seen:
+            continue
+        seen.add(code)
+        c = lookup(code)
+        if c is None:
+            continue
+        concepts.append(concept_record(c, terms_from_synonyms))
+        for child in narrower(code):
+            edges.append((child, code))
+            frontier.append(child)
+    ids = {c["cui"] for c in concepts}
+    return concepts, [(a, b) for a, b in edges if a in ids and b in ids]
 
 
 # --------------------------------------------------------------------------
@@ -297,6 +325,23 @@ class LexEVSTerminology:
     def search(self, text: str) -> list[ConceptMeta]:
         return self._process_response(self.fetch(self._search_url(text)))
 
+    def import_search(self, queries: "list[str]",
+                      ) -> tuple[list[dict], list[tuple[str, str]]]:
+        """Search-driven import: fold every concept any query returns
+        into local build records. The reference LexEVS client exposes no
+        hierarchy (``LexEVSRestTerminology.getRelatedConcepts:287-299``
+        returns null), so unlike the BioPortal/UMLS subtree walks this
+        flow has no isa edges — the caGrid GetXML surface is flat."""
+        concepts: list[dict] = []
+        seen: set[str] = set()
+        for q in queries:
+            for c in self.search(q):
+                if c.cui not in seen:
+                    seen.add(c.cui)
+                    concepts.append(concept_record(
+                        c, terms_from_synonyms=True))
+        return concepts, []
+
 
 # --------------------------------------------------------------------------
 # UMLS RRF-over-SQL client (terminology/impl/UMLSTerminology.java) — the
@@ -338,6 +383,34 @@ class UMLSTerminology:
 
     def get_sources(self) -> list[dict]:
         return self.run_query("SELECT * FROM mrsab")
+
+    def related_concepts(self, cui: str, relation: str) -> list[str]:
+        """NARROWER/BROADER via MRREL. Public RRF semantics: REL names
+        the relationship CUI2 has to CUI1, so children of X are
+        ``cui2 WHERE cui1 = X AND rel = 'CHD'`` and parents are the
+        ``rel = 'PAR'`` rows. The source filter applies to the asserting
+        vocabulary (sab), same as lookup/search."""
+        rel = "CHD" if relation == "NARROWER" else "PAR"
+        filt = ""
+        if self.filter_sources:
+            quoted = ", ".join(f"'{s}'" for s in self.filter_sources)
+            filt = f" AND sab IN ({quoted})"
+        rows = self.run_query(
+            "SELECT DISTINCT cui2 FROM mrrel "
+            f"WHERE cui1 = '{cui}' AND rel = '{rel}'{filt}")
+        return [r["cui2"] for r in rows if r["cui2"] != cui]
+
+    def import_subtree(self, root_cui: str, max_concepts: int = 10_000
+                       ) -> tuple[list[dict], list[tuple[str, str]]]:
+        """Walk MRREL child edges from ``root_cui`` and materialize RRF
+        atoms as local build records + isa edges — the same
+        import-then-code-locally flow as the BioPortal client, over the
+        relational surface. Every MRCONSO atom becomes a term row
+        (terms_from_synonyms), matching the RRF file loader."""
+        return walk_subtree(self.lookup_concept,
+                            lambda c: self.related_concepts(c, "NARROWER"),
+                            root_cui, max_concepts,
+                            terms_from_synonyms=True)
 
     def lookup_concept(self, cui: str) -> ConceptMeta | None:
         cond = f"cui = '{cui}'" + (

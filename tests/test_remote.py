@@ -276,6 +276,13 @@ def umls():
       INSERT INTO mrsty VALUES ('C0025202','Neoplastic Process');
       CREATE TABLE mrsab(rsab VARCHAR, son VARCHAR);
       INSERT INTO mrsab VALUES ('MSH','Medical Subject Headings');
+      CREATE TABLE mrrel(cui1 VARCHAR, rel VARCHAR, cui2 VARCHAR,
+                         sab VARCHAR);
+      INSERT INTO mrrel VALUES
+        ('C0006826','CHD','C0025202','MSH'),
+        ('C0025202','PAR','C0006826','MSH'),
+        ('C0006826','CHD','C0006826','MSH'),  -- self-loop must be dropped
+        ('C0006826','RO','C0011847','MSH');   -- non-hierarchy rel ignored
     """)
 
     def run_query(sql: str) -> list[dict]:
@@ -339,3 +346,61 @@ class TestUMLS:
 
     def test_get_sources(self, umls):
         assert umls.get_sources()[0]["rsab"] == "MSH"
+
+    def test_related_concepts_mrrel(self, umls):
+        # children: cui2 of rel='CHD' rows, self-loops and RO rows dropped
+        assert umls.related_concepts("C0006826", "NARROWER") == ["C0025202"]
+        assert umls.related_concepts("C0025202", "BROADER") == ["C0006826"]
+        assert umls.related_concepts("C0011847", "NARROWER") == []
+
+    def test_related_concepts_respects_source_filter(self, umls):
+        umls.set_source_filter(["SNOMEDCT"])
+        try:
+            assert umls.related_concepts("C0006826", "NARROWER") == []
+        finally:
+            umls.set_source_filter([])
+
+    def test_import_subtree_feeds_local_build(self, spark, umls):
+        """UMLS flavor of the BioPortal import-then-code-locally flow:
+        MRREL subtree -> build_terminology -> matcher."""
+        from nobletools_spark.matcher.core import search
+        from nobletools_spark.terminology.build import (build_terminology,
+                                                        dictionary_from_tables)
+        concepts, edges = umls.import_subtree("C0006826")
+        assert {c["cui"] for c in concepts} == {"C0006826", "C0025202"}
+        assert edges == [("C0025202", "C0006826")]
+        # every English MRCONSO atom became a term row
+        mel = next(c for c in concepts if c["cui"] == "C0025202")
+        assert ("Malignant melanoma", "PT") in [tuple(t)
+                                                for t in mel["terms"]]
+        tables = build_terminology(spark, concepts)
+        dico = dictionary_from_tables(tables)
+        dico.isa_edges = edges
+        hits = search("history of malignant melanoma", dico, "best-match")
+        assert {h["cui"] for h in hits} == {"C0025202"}
+
+
+class TestLexEVSImport:
+    def test_import_search_feeds_local_build(self):
+        """LexEVS flavor: the reference client has no hierarchy surface
+        (LexEVSRestTerminology.getRelatedConcepts:287-299 returns null),
+        so the import is search-driven and edge-free."""
+        from nobletools_spark.matcher.core import search
+        from nobletools_spark.terminology.remote import LexEVSTerminology
+        from nobletools_spark.terminology.storage import build_dictionary
+        log: list = []
+
+        def fetch(url: str) -> str:
+            log.append(url)
+            return LEXEVS_CONCEPT_XML
+
+        client = LexEVSTerminology("http://lexevs.example/GetXML", fetch)
+        concepts, edges = client.import_search(["melanoma", "melanoma"])
+        assert edges == []
+        assert [c["cui"] for c in concepts] == ["C0025202"]  # deduped
+        assert ("malignant melanoma", "SY") in [
+            tuple(t) for t in concepts[0]["terms"]]
+        dico = build_dictionary(concepts)
+        hits = search("patient shows malignant melanoma", dico,
+                      "best-match")
+        assert {h["cui"] for h in hits} == {"C0025202"}
