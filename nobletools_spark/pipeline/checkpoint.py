@@ -132,6 +132,8 @@ def run_checkpointed_pipeline(spark: SparkSession, documents: DataFrame,
                               dico, root: str, method: str | None = None,
                               context_dico=None, salt_buckets: int = 0,
                               canonicalize: bool = False,
+                              table_root: str | None = None,
+                              catalog: str | None = None,
                               ) -> dict[str, StageResult]:
     """The north-rule stage chain (mention-detect -> link -> canonicalize ->
     materialize) with per-stage checkpoints. Fingerprints chain: each stage
@@ -176,7 +178,15 @@ def run_checkpointed_pipeline(spark: SparkSession, documents: DataFrame,
         canonical = canon_res.df
 
     fp_tri = fingerprint("triples", fp_canon)
-    cm.run_stage(
+    tri = cm.run_stage(
         "triples", fp_tri,
         lambda: materialize_triples(men.df, spark, dico, canonical=canonical))
+    if table_root is not None:
+        # land the final table through an all-or-nothing snapshot commit,
+        # exactly once per fingerprint: the stage checkpoint dedups the
+        # COMPUTE, this dedups the VISIBILITY (resume after a crash between
+        # checkpoint and commit re-commits; resume after success no-ops)
+        from .tables import commit_triples_idempotent
+        commit_triples_idempotent(spark, tri.df, table_root, fp_tri,
+                                  catalog=catalog)
     return cm.results

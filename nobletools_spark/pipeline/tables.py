@@ -94,7 +94,8 @@ class SnapshotTable:
                      if n.endswith(".json"))
         return [self._load_snapshot(i) for i in ids]
 
-    def _commit(self, dirs: list[str], op: str, parent: int | None) -> int:
+    def _commit(self, dirs: list[str], op: str, parent: int | None,
+                props: dict | None = None) -> int:
         os.makedirs(self._snap_dir(), exist_ok=True)
         # ids are allocated past every EXISTING snapshot, not parent+1 —
         # after a rollback the next commit must not collide with the
@@ -102,7 +103,8 @@ class SnapshotTable:
         existing = [int(n[:-5]) for n in os.listdir(self._snap_dir())
                     if n.endswith(".json")]
         snap_id = max(existing, default=0) + 1
-        snap = {"id": snap_id, "parent": parent, "dirs": dirs, "op": op}
+        snap = {"id": snap_id, "parent": parent, "dirs": dirs, "op": op,
+                "props": props or {}}
         path = os.path.join(self._snap_dir(), f"{snap_id}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -116,12 +118,15 @@ class SnapshotTable:
 
     # -- public surface ------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(self, df: DataFrame, mode: str = "append",
+              props: dict | None = None) -> int:
         """Write ``df`` as a new immutable file set, then commit a
         snapshot. ``mode`` is 'append' (new snapshot = parent dirs + new
         dirs) or 'overwrite' (new snapshot = new dirs only; old files stay
         on disk for time travel, exactly like Iceberg's overwrite).
-        Returns the committed snapshot id."""
+        ``props`` are arbitrary commit properties recorded on the snapshot
+        (Iceberg snapshot summary properties) — the idempotence hook below
+        keys on them. Returns the committed snapshot id."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
@@ -130,7 +135,7 @@ class SnapshotTable:
         dirs = [os.path.relpath(new_dir, self.root)]
         if mode == "append" and parent is not None:
             dirs = self._load_snapshot(parent)["dirs"] + dirs
-        return self._commit(dirs, mode, parent)
+        return self._commit(dirs, mode, parent, props or {})
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """DataFrame over exactly the files the (current or named)
@@ -188,3 +193,34 @@ def write_triples(spark: SparkSession, triples: DataFrame, location: str,
                 writer.create()           # first append creates the table
         return None
     return SnapshotTable(spark, location).write(triples, mode)
+
+
+def commit_triples_idempotent(spark: SparkSession, triples: DataFrame,
+                              location: str, fingerprint: str,
+                              catalog: str | None = None,
+                              namespace: str = "kg",
+                              table: str = "triples") -> int | None:
+    """Exactly-once table commit per pipeline fingerprint — the landing
+    used by ``run_checkpointed_pipeline``'s materialize stage.
+
+    The stage checkpoint guarantees the triple *data* is computed once; this
+    guarantees it becomes *visible* once. A rerun after a crash between
+    checkpoint and commit re-commits (the torn attempt left only orphan
+    files); a rerun after a successful commit is a no-op because the current
+    snapshot already carries this fingerprint in its commit properties —
+    the same dedup Iceberg users get from ``commit.properties`` + WAP ids.
+    Overwrite mode: each fingerprint fully describes the table contents
+    (config + upstream digests), so stale contents are replaced, never mixed.
+    """
+    if catalog is not None and catalog_configured(spark, catalog):
+        # Iceberg's createOrReplace is itself an atomic full-replace commit;
+        # re-running it with identical data is safe (idempotent by value)
+        triples.writeTo(iceberg_identifier(catalog, namespace, table)) \
+            .createOrReplace()
+        return None
+    t = SnapshotTable(spark, location)
+    cur = t.current_snapshot_id()
+    if cur is not None and t._load_snapshot(cur) \
+            .get("props", {}).get("fingerprint") == fingerprint:
+        return cur
+    return t.write(triples, "overwrite", props={"fingerprint": fingerprint})

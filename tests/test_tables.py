@@ -11,6 +11,7 @@ import pytest
 
 from nobletools_spark.pipeline.tables import (SnapshotTable,
                                               catalog_configured,
+                                              commit_triples_idempotent,
                                               iceberg_identifier,
                                               write_triples)
 
@@ -99,3 +100,64 @@ class TestIcebergGate:
         assert sid == 1
         got = SnapshotTable(spark, loc).read().collect()
         assert [tuple(r) for r in got] == [("a", "isa", "b")]
+
+
+class TestIdempotentCommit:
+    def test_same_fingerprint_commits_once(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        df = _triples(spark, [("a", "isa", "b")])
+        s1 = commit_triples_idempotent(spark, df, loc, "fp1")
+        s2 = commit_triples_idempotent(spark, df, loc, "fp1")  # resume no-op
+        assert s1 == s2
+        assert len(SnapshotTable(spark, loc).snapshots()) == 1
+
+    def test_new_fingerprint_replaces(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        commit_triples_idempotent(
+            spark, _triples(spark, [("a", "isa", "b")]), loc, "fp1")
+        commit_triples_idempotent(
+            spark, _triples(spark, [("x", "isa", "y")]), loc, "fp2")
+        got = {tuple(r) for r in SnapshotTable(spark, loc).read().collect()}
+        assert got == {("x", "isa", "y")}  # full replace, never mixed
+
+    def test_crash_between_checkpoint_and_commit_recommits(self, spark,
+                                                           tmp_path):
+        """A writer that died after the parquet landed but before the
+        snapshot commit leaves an orphan; the resumed run commits
+        normally and the orphan stays invisible."""
+        loc = str(tmp_path / "t")
+        _triples(spark, [("torn", "isa", "row")]).write.parquet(
+            os.path.join(loc, "data", "torn"))
+        sid = commit_triples_idempotent(
+            spark, _triples(spark, [("a", "isa", "b")]), loc, "fp1")
+        t = SnapshotTable(spark, loc)
+        assert sid is not None
+        assert {tuple(r) for r in t.read().collect()} == {("a", "isa", "b")}
+        assert t.orphan_dirs() == [os.path.join("data", "torn")]
+
+
+def test_pipeline_materializes_through_snapshot_commit(spark, tmp_path):
+    """run_checkpointed_pipeline(table_root=...) lands the triple table
+    through exactly one snapshot commit, and a resumed run adds none."""
+    from nobletools_spark.pipeline.checkpoint import run_checkpointed_pipeline
+    from nobletools_spark.pipeline.documents import generate_documents
+    from nobletools_spark.terminology.fixture import fixture_dictionary
+
+    corpus = generate_documents(spark, 10, seed=5, partitions=2)
+    root, loc = str(tmp_path / "ckpt"), str(tmp_path / "triples")
+    res1 = run_checkpointed_pipeline(
+        spark, corpus, fixture_dictionary(), root, "best-match",
+        table_root=loc)
+    t = SnapshotTable(spark, loc)
+    assert len(t.snapshots()) == 1
+    committed = {tuple(r) for r in
+                 t.read().select("subj", "pred", "obj").collect()}
+    expect = {tuple(r) for r in
+              res1["triples"].df.select("subj", "pred", "obj").collect()}
+    assert committed == expect and committed
+    # resume: stages read checkpoints, table commit is a no-op
+    res2 = run_checkpointed_pipeline(
+        spark, corpus, fixture_dictionary(), root, "best-match",
+        table_root=loc)
+    assert res2["triples"].resumed
+    assert len(t.snapshots()) == 1
