@@ -1,0 +1,126 @@
+"""Graph analytics over materialized KG tables: PageRank and doc-level
+concept co-occurrence (PMI edges).
+
+Reference parity note: the reference engine stops at hierarchy traversal
+(`NobleCoderTerminology.getAncestors`, see `graph/hierarchy.py`); these two
+operators are part of the LLM-data/KG-enrichment surface this engine adds on
+top — concept importance for ranking mention candidates at query time, and
+co-occurrence edges that augment the isa graph with corpus-derived
+relatedness (the classic KG-construction enrichment step).
+
+Scale posture:
+- ``pagerank`` is the join-based fixed-iteration form: each iteration is one
+  shuffle on ``dst`` (the contribution aggregation) plus a broadcast-sized
+  join against out-degrees; the dangling-mass scalar stays IN-PLAN via a
+  single-row cross join (the same pattern as ``textdata/relevance.py``), so
+  nothing collects to the driver. An eager ``localCheckpoint`` per iteration
+  truncates lineage — without it iteration k replays all k-1 prior joins
+  (the same guard ``bpe_train_distributed`` uses).
+- ``concept_cooccurrence_pmi`` shuffles once on ``doc_id``; the per-document
+  pair explosion is bounded by (distinct concepts per doc)^2, which is small
+  and independent of corpus size. Document frequencies are
+  vocabulary-bounded and the corpus size rides the plan as a single-row
+  cross join, so the whole query is two shuffles at any corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 10,
+             round_dp: int = 6) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table ``(src, dst)``.
+
+    Semantics (the textbook formulation, deterministic for a fixed
+    iteration count):
+
+        rank_0(v)   = 1/N
+        rank_k+1(v) = (1-d)/N + d * (sum_{u->v} rank_k(u)/outdeg(u)
+                                     + dangling_k/N)
+
+    where ``dangling_k`` is the total rank held by vertices with no
+    out-edges (their mass redistributes uniformly, keeping ranks summing
+    to 1). Returns ``(cui, rank)`` with ``rank`` rounded to ``round_dp``
+    so engine summation order cannot flip a value hash.
+    """
+    edges = edges.select(F.col("src").cast("string").alias("src"),
+                         F.col("dst").cast("string").alias("dst")).distinct()
+    vertices = (edges.select(F.col("src").alias("cui"))
+                .union(edges.select(F.col("dst").alias("cui")))
+                .distinct())
+    vertices = vertices.localCheckpoint(eager=True)
+    n_df = vertices.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg"))
+    # contribution weight per edge is static across iterations — precompute
+    w_edges = edges.join(outdeg, "src").localCheckpoint(eager=True)
+
+    ranks = (vertices.crossJoin(n_df)
+             .select("cui", (F.lit(1.0) / F.col("n")).alias("rank")))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contrib = (ranks.join(w_edges, ranks.cui == w_edges.src)
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                        .alias("contrib"))
+                   .withColumnRenamed("dst", "cui"))
+        dangling = (ranks.join(outdeg, ranks.cui == outdeg.src, "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("mass")))
+        ranks = (vertices
+                 .join(contrib, "cui", "left")
+                 .crossJoin(n_df).crossJoin(dangling)
+                 .select("cui",
+                         ((1.0 - damping) / F.col("n")
+                          + damping * (F.coalesce(F.col("contrib"),
+                                                  F.lit(0.0))
+                                       + F.col("mass") / F.col("n")))
+                         .alias("rank")))
+        # truncate lineage: each iteration otherwise replays every prior one
+        ranks = ranks.localCheckpoint(eager=True)
+
+    return ranks.select("cui", F.round("rank", round_dp).alias("rank"))
+
+
+def concept_cooccurrence_pmi(doc_concepts: DataFrame,
+                             round_dp: int = 4) -> DataFrame:
+    """PMI-weighted co-occurrence edges from ``(doc_id, cui)`` mention rows.
+
+    For each unordered concept pair (a < b) appearing in the same document:
+
+        pmi(a, b) = ln( n_ab * N / (n_a * n_b) )
+
+    with N = number of distinct documents carrying at least one mention and
+    n_x = document frequency. Output ``(cui_a, cui_b, n_docs, pmi)``.
+
+    Plan: distinct (doc_id, cui) -> self-join on doc_id (one shuffle; the
+    per-doc explosion is bounded by the per-doc concept count) -> pair
+    counts (second shuffle) -> broadcast doc-frequency joins (the concept
+    vocabulary is dictionary-bounded) with N as an in-plan scalar.
+    """
+    dc = (doc_concepts.select(F.col("doc_id").cast("string").alias("doc_id"),
+                              F.col("cui").cast("string").alias("cui"))
+          .distinct())
+    n_df = dc.agg(F.countDistinct("doc_id").cast("double").alias("n_corpus"))
+    df_freq = dc.groupBy("cui").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    a = dc.select("doc_id", F.col("cui").alias("cui_a"))
+    b = dc.select("doc_id", F.col("cui").alias("cui_b"))
+    pairs = (a.join(b, "doc_id")
+             .where(F.col("cui_a") < F.col("cui_b"))
+             .groupBy("cui_a", "cui_b")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+    return (pairs
+            .join(F.broadcast(df_freq.withColumnRenamed("cui", "cui_a")
+                              .withColumnRenamed("df", "df_a")), "cui_a")
+            .join(F.broadcast(df_freq.withColumnRenamed("cui", "cui_b")
+                              .withColumnRenamed("df", "df_b")), "cui_b")
+            .crossJoin(n_df)
+            .select("cui_a", "cui_b", F.col("n_docs").cast("long")
+                    .alias("n_docs"),
+                    F.round(F.log(F.col("n_docs") * F.col("n_corpus")
+                                  / (F.col("df_a") * F.col("df_b"))),
+                            round_dp).alias("pmi")))

@@ -441,6 +441,28 @@ SELECT DISTINCT subj, pred, obj, doc_id FROM cisa WHERE subj <> obj
 """
 
 
+def kg_cooccurrence_pmi_sql() -> str:
+    """Doc-level concept co-occurrence with PMI weights, re-derived from
+    the same independent mention CTEs (`graph/analytics.py::
+    concept_cooccurrence_pmi` over the detected mentions is the Spark
+    side). PMI = ln(n_ab * N / (n_a * n_b)) over distinct (doc, cui)."""
+    base = _base_ctes()
+    return base + """
+, dc AS (SELECT DISTINCT doc_id, cui FROM men),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_corpus FROM dc),
+freq AS (SELECT cui, CAST(count(*) AS DOUBLE) AS df FROM dc GROUP BY cui),
+cpairs AS (SELECT a.cui AS cui_a, b.cui AS cui_b, count(*) AS n_docs
+           FROM dc a JOIN dc b ON a.doc_id = b.doc_id AND a.cui < b.cui
+           GROUP BY a.cui, b.cui)
+SELECT p.cui_a, p.cui_b, CAST(p.n_docs AS BIGINT) AS n_docs,
+       round(ln(p.n_docs * nn.n_corpus / (fa.df * fb.df)), 4) AS pmi
+FROM cpairs p JOIN freq fa ON fa.cui = p.cui_a
+              JOIN freq fb ON fb.cui = p.cui_b
+CROSS JOIN nn
+ORDER BY p.cui_a, p.cui_b
+"""
+
+
 def default_modifiers_json() -> str:
     """The constant map annotate_documents emits when no modifier matches:
     Spark to_json of a map<string,string> — keys in map insertion order

@@ -1,0 +1,117 @@
+"""Graph analytics (graph/analytics.py): PageRank against a pure-Python
+reference implementation of the identical formula, structural properties
+(mass conservation, dangling redistribution, symmetry), and PMI
+co-occurrence against hand-computed values."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from nobletools_spark.graph.analytics import (concept_cooccurrence_pmi,
+                                              pagerank)
+
+
+def _py_pagerank(edges, damping=0.85, iterations=10):
+    """Reference loop: same formula as the Spark side, plain dicts."""
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in verts}
+        for s, d in edges:
+            contrib[d] += rank[s] / out[s]
+        dangling = sum(rank[v] for v in verts if v not in out)
+        rank = {v: (1 - damping) / n
+                + damping * (contrib[v] + dangling / n) for v in verts}
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+class TestPageRank:
+    def test_cycle_is_uniform(self, spark):
+        got = {r.cui: r.rank for r in pagerank(
+            _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a")]),
+            iterations=5).collect()}
+        assert got == {"a": round(1 / 3, 6), "b": round(1 / 3, 6),
+                       "c": round(1 / 3, 6)}
+
+    def test_matches_python_reference_on_random_graph(self, spark):
+        rng = random.Random(7)
+        verts = [f"v{i}" for i in range(30)]
+        edges = sorted({(rng.choice(verts), rng.choice(verts))
+                        for _ in range(80)})
+        edges = [(s, d) for s, d in edges if s != d]
+        got = {r.cui: r.rank
+               for r in pagerank(_edges_df(spark, edges)).collect()}
+        assert got == _py_pagerank(edges)
+
+    def test_mass_conserved_with_dangling(self, spark):
+        # 'b' and 'c' have no out-edges: their mass must redistribute,
+        # keeping total rank at 1
+        ranks = pagerank(_edges_df(spark, [("a", "b"), ("a", "c")]),
+                         iterations=8).collect()
+        assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-5
+        by = {r.cui: r.rank for r in ranks}
+        assert by["b"] == by["c"] > by["a"]
+
+    def test_partitioning_invariant(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+                 ("d", "a"), ("e", "a")]
+        one = pagerank(_edges_df(spark, edges).repartition(1)).collect()
+        many = pagerank(_edges_df(spark, edges).repartition(7)).collect()
+        assert {(r.cui, r.rank) for r in one} == \
+            {(r.cui, r.rank) for r in many}
+
+    def test_duplicate_edges_collapse(self, spark):
+        once = pagerank(_edges_df(spark, [("a", "b"), ("b", "a")]))
+        twice = pagerank(_edges_df(
+            spark, [("a", "b"), ("a", "b"), ("b", "a")]))
+        assert sorted(map(tuple, once.collect())) == \
+            sorted(map(tuple, twice.collect()))
+
+
+class TestCooccurrencePMI:
+    def test_hand_computed(self, spark):
+        # docs: d1={A,B}, d2={A,B}, d3={A,C}  ->  N=3
+        # (A,B): n=2, df_A=3, df_B=2 -> ln(2*3/(3*2)) = 0
+        # (A,C): n=1, df_C=1 -> ln(1*3/(3*1)) = 0
+        dc = spark.createDataFrame(
+            [("d1", "A"), ("d1", "B"), ("d2", "A"), ("d2", "B"),
+             ("d3", "A"), ("d3", "C")], "doc_id string, cui string")
+        got = {(r.cui_a, r.cui_b): (r.n_docs, r.pmi)
+               for r in concept_cooccurrence_pmi(dc).collect()}
+        assert got == {("A", "B"): (2, 0.0), ("A", "C"): (1, 0.0)}
+
+    def test_positive_pmi_for_correlated_pair(self, spark):
+        # B appears ONLY with A, and A also appears alone -> PMI(A,B) > 0
+        rows = [(f"d{i}", "A") for i in range(4)] + \
+               [(f"d{i}", "B") for i in range(2)] + \
+               [(f"d{9}", "Z")]
+        dc = spark.createDataFrame(rows, "doc_id string, cui string")
+        got = {(r.cui_a, r.cui_b): r.pmi
+               for r in concept_cooccurrence_pmi(dc).collect()}
+        # N=5, n_AB=2, df_A=4, df_B=2 -> ln(2*5/8) = ln(1.25)
+        assert got[("A", "B")] == round(math.log(1.25), 4)
+
+    def test_repeated_mentions_count_once_per_doc(self, spark):
+        dc = spark.createDataFrame(
+            [("d1", "A"), ("d1", "A"), ("d1", "B")],
+            "doc_id string, cui string")
+        rows = concept_cooccurrence_pmi(dc).collect()
+        assert [(r.cui_a, r.cui_b, r.n_docs) for r in rows] == \
+            [("A", "B", 1)]
+
+    def test_unordered_pairs_only(self, spark):
+        dc = spark.createDataFrame(
+            [("d1", "B"), ("d1", "A")], "doc_id string, cui string")
+        rows = concept_cooccurrence_pmi(dc).collect()
+        assert [(r.cui_a, r.cui_b) for r in rows] == [("A", "B")]
