@@ -149,6 +149,17 @@ class SnapshotTable:
                 for d in self._load_snapshot(snap_id)["dirs"]]
         return self.spark.read.parquet(*dirs)
 
+    def append_once(self, df: DataFrame, fingerprint: str) -> int:
+        """Append committed at most once per ``fingerprint`` — the
+        streaming sink contract. foreachBatch replays carry the same
+        batch_id, so an append keyed on it lands exactly once no matter
+        how many times the batch re-runs; a crash mid-append leaves
+        orphan files, never a committed duplicate."""
+        for snap in self.snapshots():
+            if snap.get("props", {}).get("fingerprint") == fingerprint:
+                return snap["id"]
+        return self.write(df, "append", props={"fingerprint": fingerprint})
+
     def rollback(self, snapshot_id: int) -> None:
         """Re-point the table at an ancestor snapshot (Iceberg
         ``rollback_to_snapshot``). Later snapshots stay on disk as

@@ -59,6 +59,49 @@ def mention_stream_writer(docs_stream: DataFrame, dico_bc, sink_fn,
     return writer
 
 
+def triple_stream_writer(docs_stream: DataFrame, dico_bc, dico,
+                         table_root: str, context_bc=None,
+                         method: str | None = None,
+                         checkpoint_dir: str | None = None):
+    """documents stream -> triples appended to a snapshot-committed graph
+    table with EXACTLY-ONCE visibility per micro-batch.
+
+    Each batch runs the same detect/annotate stages as the batch pipeline,
+    materializes its mention triples (``include_isa=False`` — the static
+    CUI->isa->CUI edges are committed once up front under the ``isa-base``
+    fingerprint, not re-appended per batch), and lands through
+    ``SnapshotTable.append_once`` keyed on the batch_id. A foreachBatch
+    replay after a crash re-runs the compute but finds its fingerprint
+    already committed and no-ops, so downstream readers never see a
+    doubled batch — the Structured-Streaming + Iceberg exactly-once
+    pattern, honored by the parquet fallback too.
+    """
+    from ..pipeline.stages import isa_triples, materialize_triples
+    from ..pipeline.tables import SnapshotTable
+
+    cfg = for_search_method(method)
+    spark = docs_stream.sparkSession
+    if dico.isa_edges:
+        SnapshotTable(spark, table_root).append_once(
+            isa_triples(spark, dico), "isa-base")
+
+    def run_batch(batch_df: DataFrame, batch_id: int):
+        sentences = split_sentences(batch_df)
+        if context_bc is not None:
+            mentions = annotate_documents(sentences, dico_bc, context_bc, cfg)
+        else:
+            mentions = detect_mentions(sentences, dico_bc, cfg)
+        triples = materialize_triples(mentions, batch_df.sparkSession, dico,
+                                      include_isa=False)
+        SnapshotTable(batch_df.sparkSession, table_root).append_once(
+            triples, f"batch-{batch_id}")
+
+    writer = docs_stream.writeStream.foreachBatch(run_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 def windowed_event_counts(events: DataFrame,
                           window: str = "1 minute",
                           slide: str | None = None,

@@ -318,3 +318,71 @@ class TestStreamingScrub:
         for k in got:
             assert got[k].clean == want[k].clean
             assert (got[k].n_email, got[k].n_ip) == (1, 1)
+
+
+class TestTripleStreamSink:
+    def test_stream_equals_batch_and_replay_is_noop(self, spark, tmp_path):
+        """Streaming triples through the snapshot-committed sink equals the
+        batch pipeline's triples, and a foreachBatch replay (same batch_id)
+        commits nothing new."""
+        from nobletools_spark.pipeline.stages import materialize_triples
+        from nobletools_spark.pipeline.tables import SnapshotTable
+        from nobletools_spark.streaming.pipeline import (
+            read_document_stream, triple_stream_writer)
+
+        docs = generate_documents(spark, 16, seed=3, partitions=4)
+        src = str(tmp_path / "src")
+        docs.write.mode("overwrite").parquet(src)
+
+        dico = fixture_dictionary()
+        dico_bc = spark.sparkContext.broadcast(dico)
+        loc = str(tmp_path / "triples")
+        stream = read_document_stream(spark, src, max_files_per_trigger=2)
+        q = (triple_stream_writer(stream, dico_bc, dico, loc,
+                                  checkpoint_dir=str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        table = SnapshotTable(spark, loc)
+        got = {tuple(r) for r in
+               table.read().select("subj", "pred", "obj").collect()}
+        batch = materialize_triples(
+            detect_mentions(split_sentences(spark.read.parquet(src)),
+                            dico_bc), spark, dico)
+        want = {tuple(r) for r in
+                batch.select("subj", "pred", "obj").collect()}
+        assert got == want and got
+        n_snaps = len(table.snapshots())
+        assert n_snaps >= 3  # isa-base + >=2 micro-batches
+
+        # replay batch 0 by hand: same fingerprint -> no new snapshot
+        mentions = detect_mentions(
+            split_sentences(spark.read.parquet(src)), dico_bc)
+        replay = materialize_triples(mentions, spark, dico,
+                                     include_isa=False)
+        table.append_once(replay, "batch-0")
+        assert len(table.snapshots()) == n_snaps
+        assert {tuple(r) for r in
+                table.read().select("subj", "pred", "obj").collect()} == want
+
+    def test_isa_base_committed_once_across_restarts(self, spark, tmp_path):
+        from nobletools_spark.pipeline.tables import SnapshotTable
+        from nobletools_spark.streaming.pipeline import (
+            read_document_stream, triple_stream_writer)
+
+        docs = generate_documents(spark, 4, seed=4, partitions=1)
+        src = str(tmp_path / "src")
+        docs.write.mode("overwrite").parquet(src)
+        dico = fixture_dictionary()
+        dico_bc = spark.sparkContext.broadcast(dico)
+        loc = str(tmp_path / "triples")
+        for _ in range(2):  # second construction = restart
+            q = (triple_stream_writer(
+                    read_document_stream(spark, src), dico_bc, dico, loc,
+                    checkpoint_dir=str(tmp_path / "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+        snaps = SnapshotTable(spark, loc).snapshots()
+        fps = [s["props"]["fingerprint"] for s in snaps]
+        assert fps.count("isa-base") == 1
+        assert len(fps) == len(set(fps))
