@@ -4,7 +4,7 @@
 ``queries()`` exposes the relational operator surface (SURVEY.md §2.J), the
 training-data-pipeline operators, and the KG pipeline stages; each callable
 takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()`` supplies the
-DuckDB-equivalent SQL for EVERY query (75/75) — the KG/NLP queries are
+DuckDB-equivalent SQL for EVERY query (76/76) — the KG/NLP queries are
 oracled by relational/kg_oracle.py's full SQL re-derivation of the
 best-match pipeline, on top of the pytest golden/round-trip suites.
 """
@@ -167,6 +167,15 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).orderBy("cui")
 
 
+def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG health check: per-vertex in/out/total degree over the full
+    materialized triple graph (documents AND concepts as vertices)."""
+    from nobletools_spark.graph.analytics import degree_stats
+    edges = _kg_triples(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return degree_stats(edges).orderBy("cui")
+
+
 def _kg_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-derived KG enrichment: PMI-weighted concept co-occurrence
     edges over the detected mentions (two bounded shuffles; see
@@ -204,7 +213,7 @@ def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-window ordering: the driver evaluates the first 50 entries of
-    this dict. All 75 queries are oracle-backed; the 25 that cannot fit are
+    this dict. All 76 queries are oracle-backed; the 26 that cannot fit are
     explicitly demoted below (each with >=2 green driver rounds in
     CORRECTNESS_r01-r03) and stay covered by scripts/oracle_check.py under
     identical harness semantics."""
@@ -224,9 +233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_instances": _kg_instances,
         "kg_pagerank": _kg_pagerank,
         "kg_cooccurrence_pmi": _kg_cooccurrence_pmi,
+        "kg_degree_stats": _kg_degree_stats,
     })
     with_oracle = set(oracle_sql())
-    # ALL 75 queries are oracle-backed but the driver checks only the
+    # ALL 76 queries are oracle-backed but the driver checks only the
     # first 50. Round-4 window ROTATION (VERDICT r3 #2): the 18 entries
     # below are long-green relational queries, each with >=2 green rows
     # in CORRECTNESS_r01/r02/r03 AND pytest-pinned semantics; demoting
@@ -397,5 +407,18 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_triples": KO.kg_canonical_triples_sql(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_cooccurrence_pmi": KO.kg_cooccurrence_pmi_sql(),
+        "kg_degree_stats": f"""
+WITH t AS ({KO.kg_triples_sql()}),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+od AS (SELECT src AS cui, count(*) AS out_degree FROM e GROUP BY src),
+idg AS (SELECT dst AS cui, count(*) AS in_degree FROM e GROUP BY dst)
+SELECT coalesce(od.cui, idg.cui) AS cui,
+       CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+       CAST(coalesce(out_degree, 0) + coalesce(in_degree, 0) AS BIGINT)
+           AS degree
+FROM od FULL OUTER JOIN idg ON od.cui = idg.cui
+ORDER BY cui
+""",
     })
     return out

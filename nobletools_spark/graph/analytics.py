@@ -85,6 +85,26 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 10,
     return ranks.select("cui", F.round("rank", round_dp).alias("rank"))
 
 
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-vertex degree summary over a directed edge table ``(src, dst)``:
+    out-degree, in-degree, total. One shuffle per direction (both are
+    map-side partial-aggregated), then a vertex-keyed outer merge — the
+    KG health-check surface (hub concepts, leaf counts, skew candidates
+    for the salting knob)."""
+    e = edges.select(F.col("src").cast("string").alias("src"),
+                     F.col("dst").cast("string").alias("dst")).distinct()
+    outd = e.groupBy(F.col("src").alias("cui")).agg(
+        F.count(F.lit(1)).alias("out_degree"))
+    ind = e.groupBy(F.col("dst").alias("cui")).agg(
+        F.count(F.lit(1)).alias("in_degree"))
+    return (outd.join(ind, "cui", "full_outer")
+            .select("cui",
+                    F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0)).alias("in_degree"))
+            .withColumn("degree",
+                        (F.col("out_degree") + F.col("in_degree"))))
+
+
 def concept_cooccurrence_pmi(doc_concepts: DataFrame,
                              round_dp: int = 4) -> DataFrame:
     """PMI-weighted co-occurrence edges from ``(doc_id, cui)`` mention rows.

@@ -115,3 +115,15 @@ class TestCooccurrencePMI:
             [("d1", "B"), ("d1", "A")], "doc_id string, cui string")
         rows = concept_cooccurrence_pmi(dc).collect()
         assert [(r.cui_a, r.cui_b) for r in rows] == [("A", "B")]
+
+
+class TestDegreeStats:
+    def test_hand_computed(self, spark):
+        from nobletools_spark.graph.analytics import degree_stats
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")],
+            "src string, dst string")
+        got = {r.cui: (r.out_degree, r.in_degree, r.degree)
+               for r in degree_stats(e).collect()}
+        # duplicate (a,b) collapses
+        assert got == {"a": (2, 0, 2), "b": (1, 1, 2), "c": (0, 2, 2)}
