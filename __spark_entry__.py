@@ -4,7 +4,7 @@
 ``queries()`` exposes the relational operator surface (SURVEY.md §2.J), the
 training-data-pipeline operators, and the KG pipeline stages; each callable
 takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()`` supplies the
-DuckDB-equivalent SQL for EVERY query (76/76) — the KG/NLP queries are
+DuckDB-equivalent SQL for EVERY query (77/77) — the KG/NLP queries are
 oracled by relational/kg_oracle.py's full SQL re-derivation of the
 best-match pipeline, on top of the pytest golden/round-trip suites.
 """
@@ -213,7 +213,7 @@ def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-window ordering: the driver evaluates the first 50 entries of
-    this dict. All 76 queries are oracle-backed; the 26 that cannot fit are
+    this dict. All 77 queries are oracle-backed; the 27 that cannot fit are
     explicitly demoted below (each with >=2 green driver rounds in
     CORRECTNESS_r01-r03) and stay covered by scripts/oracle_check.py under
     identical harness semantics."""
@@ -236,7 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": _kg_degree_stats,
     })
     with_oracle = set(oracle_sql())
-    # ALL 76 queries are oracle-backed but the driver checks only the
+    # ALL 77 queries are oracle-backed but the driver checks only the
     # first 50. Round-4 window ROTATION (VERDICT r3 #2): the 18 entries
     # below are long-green relational queries, each with >=2 green rows
     # in CORRECTNESS_r01/r02/r03 AND pytest-pinned semantics; demoting
@@ -263,7 +263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # query has at least one driver-validated round after r4
               "ngram_shingles", "lang_id_heuristic",
               "jaccard_neardup_pairs", "doc_token_stats",
-              "doc_quality_scores")
+              "doc_quality_scores",
+              # third r4 rotation: four more 2x-green (r1+r2) trivial
+              # relational queries step out so the four late-r4 operators
+              # (PageRank, PMI co-occurrence, degree stats, deterministic
+              # k-means) get their first driver-validated round
+              "distinct_counts", "set_ops_customer_tiers",
+              "string_functions", "case_math_functions")
     def _shipped(fn):
         # every query may reach a pandas UDF whose closure imports the
         # package on executor workers — ship it regardless of driver cwd

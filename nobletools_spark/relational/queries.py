@@ -1434,6 +1434,22 @@ def embedding_dup_groups(spark, sf):
     return impl(e, threshold=0.4, dim=64).orderBy("vec_id")
 
 
+def _kmeans_oracle():
+    from ..textdata.clustering import kmeans_assignments_sql
+    return kmeans_assignments_sql(dim=64, k=8, iterations=3)
+
+
+@_q("kmeans_clusters", _kmeans_oracle())
+def kmeans_clusters(spark, sf):
+    # deterministic Lloyd's k-means (cluster-then-sample curation shape):
+    # md5-seeded init, rounded per-iteration means so the chained-CTE
+    # oracle replays the identical trajectory; assignment is a k-way
+    # broadcast + per-row argmin (no shuffle), means one bounded shuffle
+    from ..textdata.clustering import kmeans_assignments
+    e = load(spark, sf, "embeddings")
+    return kmeans_assignments(e, dim=64, k=8, iterations=3).orderBy("vec_id")
+
+
 @_q("datamix_stratified_sample", """
 SELECT doc_id, lang, source FROM documents
 WHERE list_reduce(list_transform(

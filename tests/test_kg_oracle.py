@@ -62,30 +62,32 @@ def test_kg_oracle_matches_spark(spark, con, entry, name):
 # 50; 18 long-green relational queries (>=2 validated rounds each) move
 # to the tail. r4's 3 new queries also sit in the tail, slated for r5.
 DRIVER_WINDOW = [
-    "distinct_counts", "set_ops_customer_tiers", "string_functions",
-    "date_functions", "case_math_functions", "dedup_exact_documents",
-    "doc_token_stats", "doc_quality_scores", "gopher_repetition_stats",
-    "c4_quality_filters", "substring_dup_spans", "lang_id_heuristic",
-    "ngram_shingles", "embedding_cosine_topk", "jaccard_neardup_pairs",
+    "date_functions", "dedup_exact_documents", "gopher_repetition_stats",
+    "c4_quality_filters", "substring_dup_spans", "embedding_cosine_topk",
     "minhash_neardup_pairs", "minhash_dup_groups", "simhash_neardup_pairs",
     "embedding_neardup_pairs", "embedding_ann_lsh_pairs",
     "embedding_ann_lsh_recall", "token_counts_bpe", "doc_fingerprint_groups",
     "media_decode_dims", "media_feature_vectors", "approx_distinct_users",
     "values_inline_union", "udtf_sentence_explode", "array_functions",
     "higher_order_array_ops", "template_items", "embedding_dup_groups",
-    "datamix_stratified_sample", "datamix_report", "pack_sequences_budget",
-    "bpe_pair_counts", "minhash_incremental_pairs", "tfidf_top_terms",
-    "bigram_lm_scores", "decontamination_pairs", "kg_span_invariant",
+    "kmeans_clusters", "datamix_stratified_sample", "datamix_report",
+    "pack_sequences_budget", "bpe_pair_counts", "minhash_incremental_pairs",
+    "tfidf_top_terms", "bigram_lm_scores", "decontamination_pairs",
+    "pii_scrub_stats", "ngram_overlap_pairs", "dedup_keep_list",
+    "line_dedup_stats", "self_line_dedup_stats", "kg_span_invariant",
     "kg_ancestors", "kg_root_paths", "kg_sentences", "kg_mentions",
     "kg_mention_counts", "kg_triples", "kg_annotated",
-    "kg_canonical_triples", "kg_instances",
+    "kg_canonical_triples", "kg_instances", "kg_pagerank",
+    "kg_cooccurrence_pmi", "kg_degree_stats",
 ]
 
 
 def test_window_composition(entry):
     """Every query is oracle-backed, and the driver-validated first-50
-    window is EXACTLY the r4-rotated set — in-round additions land
-    beyond it so CORRECTNESS stays comparable within the round."""
+    window is EXACTLY the final r4 rotation: every query that had never
+    had a driver-validated CORRECTNESS row (the r3 training-data ops, the
+    five early-r4 ops, and the four late-r4 graph/clustering ops) sits
+    inside it; only multi-round-green queries are demoted below."""
     names = list(entry.queries())
     oracle = set(entry.oracle_sql())
     assert len(oracle) == len(names)  # every query has an oracle
