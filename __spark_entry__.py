@@ -4,7 +4,7 @@
 ``queries()`` exposes the relational operator surface (SURVEY.md §2.J), the
 training-data-pipeline operators, and the KG pipeline stages; each callable
 takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()`` supplies the
-DuckDB-equivalent SQL for EVERY query (77/77) — the KG/NLP queries are
+DuckDB-equivalent SQL for EVERY query (79/79) — the KG/NLP queries are
 oracled by relational/kg_oracle.py's full SQL re-derivation of the
 best-match pipeline, on top of the pytest golden/round-trip suites.
 """
@@ -185,6 +185,20 @@ def _kg_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concept_cooccurrence_pmi(m).orderBy("cui_a", "cui_b")
 
 
+def _kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering structure of the co-occurrence graph: per-concept
+    triangle counts (graph/analytics.py::triangle_counts — wedge join +
+    closure join, skew handled like the pair count)."""
+    from nobletools_spark.graph.analytics import triangle_counts
+    dc = (_kg_mentions_raw(spark, sf_dir)
+          .select("doc_id", "cui").distinct())
+    a = dc.select("doc_id", F.col("cui").alias("a"))
+    b = dc.select("doc_id", F.col("cui").alias("b"))
+    edges = (a.join(b, "doc_id").where(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    return triangle_counts(edges).orderBy("cui")
+
+
 def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I-group: annotation variables over annotated mentions. The domain
     schema is not hand-built: the variable/anchor/slot declarations are
@@ -213,7 +227,7 @@ def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-window ordering: the driver evaluates the first 50 entries of
-    this dict. All 77 queries are oracle-backed; the 27 that cannot fit are
+    this dict. All 79 queries are oracle-backed; the 29 that cannot fit are
     explicitly demoted below (each with >=2 green driver rounds in
     CORRECTNESS_r01-r03) and stay covered by scripts/oracle_check.py under
     identical harness semantics."""
@@ -234,9 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_cooccurrence_pmi": _kg_cooccurrence_pmi,
         "kg_degree_stats": _kg_degree_stats,
+        "kg_triangle_counts": _kg_triangle_counts,
     })
     with_oracle = set(oracle_sql())
-    # ALL 77 queries are oracle-backed but the driver checks only the
+    # ALL 79 queries are oracle-backed but the driver checks only the
     # first 50. Round-4 window ROTATION (VERDICT r3 #2): the 18 entries
     # below are long-green relational queries, each with >=2 green rows
     # in CORRECTNESS_r01/r02/r03 AND pytest-pinned semantics; demoting
@@ -269,7 +284,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # (PageRank, PMI co-occurrence, degree stats, deterministic
               # k-means) get their first driver-validated round
               "distinct_counts", "set_ops_customer_tiers",
-              "string_functions", "case_math_functions")
+              "string_functions", "case_math_functions",
+              # fourth r4 rotation: two more multi-green rows step out so
+              # the triangle-count and cluster-sample operators also get
+              # their first driver-validated round
+              "date_functions", "dedup_exact_documents")
     def _shipped(fn):
         # every query may reach a pandas UDF whose closure imports the
         # package on executor workers — ship it regardless of driver cwd
@@ -303,13 +322,19 @@ def _kg_pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
     dangling mass redistributed uniformly — identical math to
     graph/analytics.py::pagerank, unrolled because recursive CTEs cannot
     aggregate over their own prior rows."""
+    # MATERIALIZED everywhere a CTE is referenced more than once: DuckDB
+    # inlines plain CTEs per reference, and r{k-1} appears twice per
+    # iteration (contribs + dangling mass) — without the hint the chain
+    # re-executes 2^iterations times (measured ~190 s vs ~1 s at 10 iters)
     sql = f"""
-WITH edges(src, dst) AS (SELECT DISTINCT * FROM {_edges_values()} t(c, p)),
-v(cui) AS (SELECT src FROM edges UNION SELECT dst FROM edges),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
-od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+WITH edges AS MATERIALIZED (SELECT DISTINCT * FROM {_edges_values()}
+                            t(src, dst)),
+v AS MATERIALIZED (SELECT src AS cui FROM edges
+                   UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
        FROM edges GROUP BY src),
-r0 AS (SELECT cui, 1.0 / nn.n AS rank FROM v CROSS JOIN nn)"""
+r0 AS MATERIALIZED (SELECT cui, 1.0 / nn.n AS rank FROM v CROSS JOIN nn)"""
     for k in range(1, iterations + 1):
         prev = f"r{k - 1}"
         sql += f""",
@@ -318,7 +343,7 @@ c{k} AS (SELECT e.dst AS cui, sum(r.rank / od.outdeg) AS contrib
          JOIN od ON od.src = e.src GROUP BY e.dst),
 d{k} AS (SELECT coalesce(sum(rank), 0) AS mass FROM {prev}
          WHERE cui NOT IN (SELECT src FROM edges)),
-r{k} AS (SELECT v.cui,
+r{k} AS MATERIALIZED (SELECT v.cui,
                 (1 - {damping}) / nn.n
                 + {damping} * (coalesce(c.contrib, 0) + d{k}.mass / nn.n)
                 AS rank
@@ -413,9 +438,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_triples": KO.kg_canonical_triples_sql(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_cooccurrence_pmi": KO.kg_cooccurrence_pmi_sql(),
+        "kg_triangle_counts": KO.kg_triangle_counts_sql(),
         "kg_degree_stats": f"""
 WITH t AS ({KO.kg_triples_sql()}),
-e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM t),
 od AS (SELECT src AS cui, count(*) AS out_degree FROM e GROUP BY src),
 idg AS (SELECT dst AS cui, count(*) AS in_degree FROM e GROUP BY dst)
 SELECT coalesce(od.cui, idg.cui) AS cui,

@@ -105,6 +105,43 @@ def degree_stats(edges: DataFrame) -> DataFrame:
                         (F.col("out_degree") + F.col("in_degree"))))
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge table given in
+    canonical orientation ``(a, b)`` with ``a < b``.
+
+    Enumerates each triangle once as a < b < c via two self-joins (the
+    standard distributed formulation: join on the shared middle vertex,
+    then close the wedge against the edge set), explodes each triangle to
+    its three corners, and counts per vertex; vertices in no triangle
+    report 0. At scale both joins shuffle on a vertex key and the wedge
+    explosion is bounded by sum(deg^2) — the same skew profile as the
+    co-occurrence pair count, so hot vertices respond to the same
+    salting knob.
+    """
+    e = (edges.select(F.col("a").cast("string").alias("a"),
+                      F.col("b").cast("string").alias("b"))
+         .where(F.col("a") < F.col("b")).distinct())
+    # e is referenced five times (two wedge sides, the closure probe, both
+    # vertex projections) and tri three times — materialize each once or
+    # the whole upstream (here: the mention pipeline) replays per reference
+    e = e.localCheckpoint(eager=True)
+    verts = (e.select(F.col("a").alias("cui"))
+             .union(e.select(F.col("b").alias("cui"))).distinct())
+    wedge = (e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+             .join(e.select(F.col("a").alias("y"), F.col("b").alias("z")),
+                   "y"))
+    tri = wedge.join(e.select(F.col("a").alias("x"),
+                              F.col("b").alias("z")), ["x", "z"])
+    tri = tri.localCheckpoint(eager=True)
+    corners = (tri.select(F.col("x").alias("cui"))
+               .union(tri.select(F.col("y").alias("cui")))
+               .union(tri.select(F.col("z").alias("cui"))))
+    counts = corners.groupBy("cui").agg(F.count(F.lit(1)).alias("triangles"))
+    return (verts.join(counts, "cui", "left")
+            .select("cui", F.coalesce("triangles", F.lit(0))
+                    .cast("long").alias("triangles")))
+
+
 def concept_cooccurrence_pmi(doc_concepts: DataFrame,
                              round_dp: int = 4) -> DataFrame:
     """PMI-weighted co-occurrence edges from ``(doc_id, cui)`` mention rows.

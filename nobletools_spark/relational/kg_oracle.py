@@ -448,7 +448,7 @@ def kg_cooccurrence_pmi_sql() -> str:
     side). PMI = ln(n_ab * N / (n_a * n_b)) over distinct (doc, cui)."""
     base = _base_ctes()
     return base + """
-, dc AS (SELECT DISTINCT doc_id, cui FROM men),
+, dc AS MATERIALIZED (SELECT DISTINCT doc_id, cui FROM men),
 nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_corpus FROM dc),
 freq AS (SELECT cui, CAST(count(*) AS DOUBLE) AS df FROM dc GROUP BY cui),
 cpairs AS (SELECT a.cui AS cui_a, b.cui AS cui_b, count(*) AS n_docs
@@ -460,6 +460,28 @@ FROM cpairs p JOIN freq fa ON fa.cui = p.cui_a
               JOIN freq fb ON fb.cui = p.cui_b
 CROSS JOIN nn
 ORDER BY p.cui_a, p.cui_b
+"""
+
+
+def kg_triangle_counts_sql() -> str:
+    """Per-vertex triangle counts over the doc-level co-occurrence graph,
+    from the same independent mention CTEs (Spark side:
+    `graph/analytics.py::triangle_counts` over the detected mentions)."""
+    base = _base_ctes()
+    return base + """
+, dc AS MATERIALIZED (SELECT DISTINCT doc_id, cui FROM men),
+e AS MATERIALIZED (SELECT DISTINCT a.cui AS a, b.cui AS b
+      FROM dc a JOIN dc b ON a.doc_id = b.doc_id AND a.cui < b.cui),
+vv AS (SELECT a AS cui FROM e UNION SELECT b FROM e),
+tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS cui FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+cnt AS (SELECT cui, count(*) AS triangles FROM corners GROUP BY cui)
+SELECT vv.cui, CAST(coalesce(cnt.triangles, 0) AS BIGINT) AS triangles
+FROM vv LEFT JOIN cnt ON cnt.cui = vv.cui
+ORDER BY vv.cui
 """
 
 

@@ -1450,6 +1450,22 @@ def kmeans_clusters(spark, sf):
     return kmeans_assignments(e, dim=64, k=8, iterations=3).orderBy("vec_id")
 
 
+def _cluster_sample_oracle():
+    from ..textdata.clustering import cluster_sample_sql
+    return cluster_sample_sql(dim=64, k=8, iterations=3, per_cluster=3)
+
+
+@_q("kmeans_cluster_sample", _cluster_sample_oracle())
+def kmeans_cluster_sample(spark, sf):
+    # cluster-then-sample curation: k-means buckets -> md5-rank keep of 3
+    # representatives per cluster (deterministic uniform-within-cluster
+    # stand-in); one window over the assignment table, nothing collects
+    from ..textdata.clustering import cluster_sample, kmeans_assignments
+    e = load(spark, sf, "embeddings")
+    a = kmeans_assignments(e, dim=64, k=8, iterations=3)
+    return cluster_sample(a, per_cluster=3).orderBy("vec_id")
+
+
 @_q("datamix_stratified_sample", """
 SELECT doc_id, lang, source FROM documents
 WHERE list_reduce(list_transform(

@@ -79,6 +79,38 @@ def kmeans_assignments(df: DataFrame, dim: int, id_col: str = "vec_id",
                     F.col("cluster").cast("int").alias("cluster")))
 
 
+def cluster_sample(assignments: DataFrame, per_cluster: int = 3,
+                   id_col: str = "vec_id") -> DataFrame:
+    """Cluster-then-sample: keep ``per_cluster`` representatives per
+    cluster, chosen by md5(id) rank — the deterministic stand-in for
+    uniform within-cluster sampling (the SemDeDup / cluster-balanced
+    curation decision). One window over the assignment table; no joins,
+    no collect."""
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col)
+    return (assignments
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= per_cluster)
+            .select(id_col, "cluster"))
+
+
+def cluster_sample_sql(dim: int, k: int = 8, iterations: int = 3,
+                       per_cluster: int = 3, id_col: str = "vec_id",
+                       **kwargs) -> str:
+    """DuckDB replay of k-means + within-cluster md5-rank sampling."""
+    inner = kmeans_assignments_sql(dim, k=k, iterations=iterations,
+                                   id_col=id_col, **kwargs)
+    return f"""
+WITH a AS ({inner}),
+r AS (SELECT {id_col}, cluster,
+             row_number() OVER (PARTITION BY cluster
+                 ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn
+      FROM a)
+SELECT {id_col}, cluster FROM r WHERE rn <= {per_cluster}
+ORDER BY {id_col}
+"""
+
+
 def kmeans_assignments_sql(dim: int, k: int = 8, iterations: int = 3,
                            round_dp: int = 6,
                            table: str = "embeddings",
@@ -95,20 +127,24 @@ def kmeans_assignments_sql(dim: int, k: int = 8, iterations: int = 3,
         "                    p -> (p[1] - p[2]) ^ 2)), c.cluster) AS rn\n"
         "  FROM v CROSS JOIN {cents} c) WHERE rn = 1")
     sql = f"""
-WITH v AS (SELECT CAST({id_col} AS BIGINT) AS id,
+WITH v AS MATERIALIZED (SELECT CAST({id_col} AS BIGINT) AS id,
                   CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
 seeds AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS h FROM v
           ORDER BY h LIMIT {k}),
-c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cluster, v AS c
+c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h) - 1 AS cluster,
+                           v AS c
        FROM seeds)"""
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference, and c{i-1} is
+    # referenced twice per level (directly and through a{i}) — without the
+    # hint the chain re-executes 2^iterations times
     for i in range(1, iterations + 1):
         sql += f""",
-a{i} AS ({assign_from.format(cents=f"c{i - 1}")}),
+a{i} AS MATERIALIZED ({assign_from.format(cents=f"c{i - 1}")}),
 m{i} AS (SELECT cluster, list(val ORDER BY d) AS mc FROM (
     SELECT cluster, d, round(avg(v[d]), {round_dp}) AS val
     FROM a{i}, range(1, {dim} + 1) t(d) GROUP BY cluster, d)
   GROUP BY cluster),
-c{i} AS (SELECT c.cluster, coalesce(m.mc, c.c) AS c
+c{i} AS MATERIALIZED (SELECT c.cluster, coalesce(m.mc, c.c) AS c
          FROM c{i - 1} c LEFT JOIN m{i} m ON m.cluster = c.cluster)"""
     final = assign_from.format(cents=f"c{iterations}")
     return sql + f"""

@@ -127,3 +127,58 @@ class TestDegreeStats:
                for r in degree_stats(e).collect()}
         # duplicate (a,b) collapses
         assert got == {"a": (2, 0, 2), "b": (1, 1, 2), "c": (0, 2, 2)}
+
+
+class TestTriangleCounts:
+    def test_hand_computed(self, spark):
+        from nobletools_spark.graph.analytics import triangle_counts
+        # K4 on {a,b,c,d}: each vertex is in C(3,2)=3 triangles; e isolated
+        # via a single edge (no triangle)
+        edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                 ("b", "d"), ("c", "d"), ("d", "e")]
+        e = spark.createDataFrame(edges, "a string, b string")
+        got = {r.cui: r.triangles for r in triangle_counts(e).collect()}
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        from itertools import combinations
+
+        from nobletools_spark.graph.analytics import triangle_counts
+        rng = random.Random(3)
+        verts = [f"v{i:02d}" for i in range(14)]
+        edges = sorted({tuple(sorted(rng.sample(verts, 2)))
+                        for _ in range(40)})
+        eset = set(edges)
+        want = {v: 0 for v in {x for e in edges for x in e}}
+        for t in combinations(sorted(want), 3):
+            if all(p in eset for p in combinations(t, 2)):
+                for v in t:
+                    want[v] += 1
+        e = spark.createDataFrame(edges, "a string, b string")
+        got = {r.cui: r.triangles for r in triangle_counts(e).collect()}
+        assert got == want
+
+
+class TestClusterSample:
+    def test_keeps_k_per_cluster_deterministically(self, spark):
+        import hashlib as hl
+
+        from nobletools_spark.textdata.clustering import cluster_sample
+        rows = [(i, i % 4) for i in range(40)]
+        a = spark.createDataFrame(rows, "vec_id long, cluster int")
+        got = sorted((r.cluster, r.vec_id)
+                     for r in cluster_sample(a, per_cluster=3).collect())
+        want = []
+        for c in range(4):
+            ids = sorted((i for i, cc in rows if cc == c),
+                         key=lambda i: (hl.md5(str(i).encode()).hexdigest(),
+                                        i))[:3]
+            want += [(c, i) for i in ids]
+        assert got == sorted(want)
+
+    def test_small_cluster_kept_whole(self, spark):
+        from nobletools_spark.textdata.clustering import cluster_sample
+        a = spark.createDataFrame([(1, 0), (2, 0), (3, 1)],
+                                  "vec_id long, cluster int")
+        got = cluster_sample(a, per_cluster=5).collect()
+        assert len(got) == 3
