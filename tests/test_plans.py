@@ -203,3 +203,47 @@ class TestR4Plans:
         ev = d.where(F.col("doc_id") % 5 == 0).limit(20)
         plan = plan_of(ngram_overlap_pairs(train, ev))
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestGraphAnalyticsPlans:
+    def test_pagerank_iteration_broadcast_and_truncated_lineage(self, spark):
+        # after localCheckpoint the per-iteration plan must NOT contain the
+        # whole chain of prior iterations: the final plan stays bounded
+        # (scan of the checkpointed RDD), and the contribution aggregation
+        # partial-aggregates map-side
+        from nobletools_spark.graph.analytics import pagerank
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+        plan = plan_of(pagerank(e, iterations=4))
+        assert "Scan ExistingRDD" in plan      # truncated lineage
+        assert plan.count("HashAggregate") <= 2  # final round only
+
+    def test_cooccurrence_pmi_broadcasts_frequencies(self, spark):
+        # doc-frequency joins are explicit broadcasts; the corpus-size
+        # scalar rides a single-row join, never a collect
+        from nobletools_spark.graph.analytics import concept_cooccurrence_pmi
+        dc = spark.createDataFrame(
+            [("d1", "A"), ("d1", "B")], "doc_id string, cui string")
+        plan = plan_of(concept_cooccurrence_pmi(dc))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "collect_list" not in plan
+
+    def test_triangle_counts_no_cartesian_and_bounded_plan(self, spark):
+        from nobletools_spark.graph.analytics import triangle_counts
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c")], "a string, b string")
+        plan = plan_of(triangle_counts(e))
+        assert "CartesianProduct" not in plan
+        assert "Scan ExistingRDD" in plan      # edge table materialized once
+
+    def test_kmeans_assignment_has_no_shuffle_before_argmin(self, spark):
+        # assignment = vectors x broadcast(centroids) + per-id window; the
+        # only Exchanges in the final assign pass are the window partition
+        # hash — no SortMergeJoin anywhere
+        from nobletools_spark.textdata.clustering import kmeans_assignments
+        vecs = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(10)],
+            "vec_id long, embedding array<double>")
+        plan = plan_of(kmeans_assignments(vecs, dim=2, k=2, iterations=1))
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
