@@ -66,6 +66,11 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must fail loudly, not report ALL GREEN on the rest
+        print(f"[ERR ] unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
