@@ -4,7 +4,7 @@
 ``queries()`` exposes the relational operator surface (SURVEY.md §2.J), the
 training-data-pipeline operators, and the KG pipeline stages; each callable
 takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()`` supplies the
-DuckDB-equivalent SQL for EVERY query (79/79) — the KG/NLP queries are
+DuckDB-equivalent SQL for EVERY query (80/80) — the KG/NLP queries are
 oracled by relational/kg_oracle.py's full SQL re-derivation of the
 best-match pipeline, on top of the pytest golden/round-trip suites.
 """
@@ -227,7 +227,7 @@ def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-window ordering: the driver evaluates the first 50 entries of
-    this dict. All 79 queries are oracle-backed; the 29 that cannot fit are
+    this dict. All 80 queries are oracle-backed; the 30 that cannot fit are
     explicitly demoted below (each with >=2 green driver rounds in
     CORRECTNESS_r01-r03) and stay covered by scripts/oracle_check.py under
     identical harness semantics."""
@@ -251,7 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangle_counts": _kg_triangle_counts,
     })
     with_oracle = set(oracle_sql())
-    # ALL 79 queries are oracle-backed but the driver checks only the
+    # ALL 80 queries are oracle-backed but the driver checks only the
     # first 50. Round-4 window ROTATION (VERDICT r3 #2): the 18 entries
     # below are long-green relational queries, each with >=2 green rows
     # in CORRECTNESS_r01/r02/r03 AND pytest-pinned semantics; demoting
@@ -288,7 +288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # fourth r4 rotation: two more multi-green rows step out so
               # the triangle-count and cluster-sample operators also get
               # their first driver-validated round
-              "date_functions", "dedup_exact_documents")
+              "date_functions", "dedup_exact_documents",
+              # fifth r4 rotation: thrice-green embedding_cosine_topk
+              # steps out for the end-to-end curation composition query
+              "embedding_cosine_topk")
     def _shipped(fn):
         # every query may reach a pandas UDF whose closure imports the
         # package on executor workers — ship it regardless of driver cwd

@@ -1450,6 +1450,61 @@ def kmeans_clusters(spark, sf):
     return kmeans_assignments(e, dim=64, k=8, iterations=3).orderBy("vec_id")
 
 
+@_q("curation_pipeline", r"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, lang, source, text,
+         row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+k1 AS MATERIALIZED (SELECT doc_id, lang, source, text FROM d WHERE rn = 1),
+cf AS (SELECT doc_id FROM (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+    FROM k1 WHERE length(trim(text)) > 0)
+  WHERE len(l) BETWEEN 30 AND 1000
+    AND round(CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+              / len(l), 4) BETWEEN 4.0 AND 5.0
+    AND len(list_filter(l, t -> t IN ('the','a','an','and','or','of','to',
+                                      'in','is','was'))) > 0),
+k2 AS MATERIALIZED (SELECT k1.* FROM k1 JOIN cf USING (doc_id)),
+s1 AS (SELECT doc_id, lang, source,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t FROM k2),
+s2 AS (SELECT doc_id, lang, source, n_email,
+    len(regexp_extract_all(t,
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+    regexp_replace(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                   '<IP>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, lang, source, n_email, n_ip,
+    len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+    regexp_replace(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+                   '<SSN>', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, lang, source, n_email, n_ip, n_ssn,
+    len(regexp_extract_all(t,
+        '\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b')) AS n_phone,
+    regexp_replace(t, '\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b',
+                   '<PHONE>', 'g') AS clean FROM s3)
+SELECT doc_id, lang, source,
+       CAST(n_email + n_ip + n_ssn + n_phone AS BIGINT) AS n_pii,
+       md5(clean) AS clean_md5
+FROM s4
+WHERE list_reduce(list_transform(
+        string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        (a, b) -> a * 16 + b) % 10000
+      < CAST(round((CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.75
+                              ELSE 1.0 END) * 10000) AS BIGINT)
+ORDER BY doc_id
+""")
+def curation_pipeline(spark, sf):
+    # the composition surface: exact dedup -> C4 quality gate -> PII
+    # scrub -> datamix sample, one Spark plan end to end (no driver
+    # round-trips between stages); oracle replays every stage in SQL
+    from ..textdata.curation import curate
+    return curate(load(spark, sf, "documents")).orderBy("doc_id")
+
+
 def _cluster_sample_oracle():
     from ..textdata.clustering import cluster_sample_sql
     return cluster_sample_sql(dim=64, k=8, iterations=3, per_cluster=3)

@@ -642,3 +642,39 @@ class TestSelfLineDedup:
                                    "doc_id long, text string")
         r = A.self_line_dedup(df).collect()[0]
         assert r.n_dropped == 0 and r.clean == "a\n\nb\n\nc"
+
+
+class TestCurationPipeline:
+    def test_stage_chain_semantics(self, spark):
+        """Duplicates collapse to the lowest doc_id, the quality gate and
+        datamix keep-rule both apply, and PII is gone from the output."""
+        from nobletools_spark.textdata.curation import curate
+        good = ("the data pipeline was built to ingest rows and it "
+                "delivered stable results when the tables grew large "
+                "and the jobs ran well ") * 2
+        rows = [
+            (1, "en", "crawl", good + "mail me at a@x.example.com"),
+            (2, "en", "crawl", good + "mail me at a@x.example.com"),  # dup
+            (3, "en", "crawl", "too short"),                  # quality drop
+            (4, "zz", "curated", good),                       # rate 1.0
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, text string")
+        out = {r.doc_id: r for r in
+               curate(docs, rates={}, default_rate=1.0).collect()}
+        assert 2 not in out and 3 not in out        # dup + quality drop
+        assert 4 in out and out[4].n_pii == 0
+        if 1 in out:                                 # dedup keeps MIN id
+            assert out[1].n_pii == 1
+
+    def test_sampling_rates_respected(self, spark):
+        from nobletools_spark.textdata.curation import curate
+        good = ("the data pipeline was built to ingest rows and it "
+                "delivered stable results when the tables grew large ") * 2
+        docs = spark.createDataFrame(
+            [(i, "en", "crawl", good + f"doc {i}") for i in range(400)],
+            "doc_id long, lang string, source string, text string")
+        kept = curate(docs, rates={"en": 0.25}).count()
+        assert 0.15 < kept / 400 < 0.35   # md5 rule ~ rate
+        # rate 0 drops the stratum entirely, deterministically
+        assert curate(docs, rates={"en": 0.0}).count() == 0
