@@ -63,6 +63,38 @@ def write_triples(triples: DataFrame, path: str,
     w.parquet(path)
 
 
+def triples_to_ntriples(triples: DataFrame,
+                        base_iri: str = "urn:nobletools:",
+                        ) -> DataFrame:
+    """RDF N-Triples lines from the (subj, pred, obj) table — the
+    interchange flavor of the triple export (every RDF store ingests
+    N-Triples). Subjects/objects become IRIs under ``base_iri``; IRI
+    segments are percent-encoded per RFC 3987 (space, angle brackets,
+    quotes, and non-ASCII are the characters our ids can realistically
+    carry). Pure column expressions; write with ``.write.text`` sharded."""
+    def iri(col):
+        enc = col.cast("string")
+        for ch, pct in ((" ", "%20"), ("<", "%3C"), (">", "%3E"),
+                        ('"', "%22"), ("{", "%7B"), ("}", "%7D"),
+                        ("|", "%7C"), ("\\", "%5C"), ("^", "%5E"),
+                        ("`", "%60")):
+            enc = F.replace(enc, F.lit(ch), F.lit(pct))
+        return F.concat(F.lit("<" + base_iri), enc, F.lit(">"))
+    line = F.concat_ws(" ", iri(F.col("subj")), iri(F.col("pred")),
+                       iri(F.col("obj")), F.lit("."))
+    return triples.select(line.alias("value"))
+
+
+def write_ntriples(triples: DataFrame, path: str,
+                   base_iri: str = "urn:nobletools:",
+                   single_file: bool = False) -> None:
+    """B3 interchange sink: the triple table as sharded ``.nt`` text."""
+    out = triples_to_ntriples(triples, base_iri)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
+
+
 def write_eval_report(report: DataFrame, path: str) -> None:
     """B5: the per-concept confusion report as a TSV
     (eval/AnnotationEvaluation.java:91-105 analog)."""

@@ -158,3 +158,36 @@ def test_composition_results_long_format(spark):
     assert max(r.n for r in accepted) < min(r.n for r in rejected)
     # annotations resolve through the mentions frame as text/offset
     assert anchor[0].annotations.startswith("melanoma/")
+
+
+def test_ntriples_export_shape_and_escaping(spark, tmp_path):
+    """N-Triples lines: IRI-wrapped terms, terminating dot, reserved and
+    space characters percent-encoded, round-trippable by a naive parser."""
+    from nobletools_spark.pipeline.export import (triples_to_ntriples,
+                                                  write_ntriples)
+    t = spark.createDataFrame(
+        [("doc 1", "mentions_concept", "C0001"),
+         ("C0001", "isa", 'C<weird>"id"')],
+        "subj string, pred string, obj string")
+    lines = sorted(r.value for r in triples_to_ntriples(t).collect())
+    assert lines[0] == ("<urn:nobletools:C0001> <urn:nobletools:isa> "
+                        "<urn:nobletools:C%3Cweird%3E%22id%22> .")
+    assert lines[1] == ("<urn:nobletools:doc%201> "
+                        "<urn:nobletools:mentions_concept> "
+                        "<urn:nobletools:C0001> .")
+    out = str(tmp_path / "nt")
+    write_ntriples(t, out, single_file=True)
+    got = sorted(r.value for r in spark.read.text(out).collect())
+    assert got == lines
+    for ln in got:  # every line parses as exactly 3 IRIs + dot
+        parts = ln.split(" ")
+        assert len(parts) == 4 and parts[3] == "."
+        assert all(p.startswith("<") and p.endswith(">") for p in parts[:3])
+
+
+def test_ntriples_from_pipeline(spark):
+    from nobletools_spark.pipeline.export import triples_to_ntriples
+    docs = generate_documents(spark, 6, seed=2, partitions=2)
+    out = run_pipeline(spark, docs, fixture_dictionary(), "best-match")
+    n_lines = triples_to_ntriples(out["triples"]).count()
+    assert n_lines == out["triples"].count() > 0
