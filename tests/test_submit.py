@@ -1,0 +1,65 @@
+"""The cluster entry point (scripts/submit_pipeline.py) through a REAL
+``spark-submit --py-files`` invocation: zip built by package_pyfiles, fresh
+JVM, flat-table input adapted, triple table committed, resume on
+re-submit."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not installed")
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from package_pyfiles import build
+    zip_path = str(tmp_path / "nobletools_spark.zip")
+    assert build(zip_path) > 50
+
+    # flat (doc_id, text) input — the adapter path
+    import duckdb
+    src = str(tmp_path / "docs.parquet")
+    duckdb.sql(
+        "COPY (SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') LIMIT 40) "
+        f"TO '{src}' (FORMAT PARQUET)")
+
+    def submit():
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)   # the zip must be the ONLY source
+        return subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--conf", "spark.ui.enabled=false",
+             "--py-files", zip_path,
+             os.path.join(REPO, "scripts", "submit_pipeline.py"),
+             "--input", src,
+             "--checkpoint-root", str(tmp_path / "ckpt"),
+             "--table-root", str(tmp_path / "triples"),
+             "--method", "best-match"],
+            capture_output=True, text=True, timeout=420, env=env,
+            cwd=str(tmp_path))   # NOT the repo dir — the zip does the work
+
+    r1 = submit()
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    out1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["stages"]["triples"]["rows"] > 0
+    assert out1["snapshot_id"] == 1
+    assert not out1["stages"]["triples"]["resumed"]
+
+    # re-submit: stages resume, no second snapshot
+    r2 = submit()
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    out2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["stages"]["triples"]["resumed"]
+    assert out2["snapshot_id"] == 1
+    assert out2["stages"]["triples"]["rows"] == \
+        out1["stages"]["triples"]["rows"]
