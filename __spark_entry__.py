@@ -4,7 +4,7 @@
 ``queries()`` exposes the relational operator surface (SURVEY.md §2.J), the
 training-data-pipeline operators, and the KG pipeline stages; each callable
 takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()`` supplies the
-DuckDB-equivalent SQL for EVERY query (80/80) — the KG/NLP queries are
+DuckDB-equivalent SQL for EVERY query (81/81) — the KG/NLP queries are
 oracled by relational/kg_oracle.py's full SQL re-derivation of the
 best-match pipeline, on top of the pytest golden/round-trip suites.
 """
@@ -185,6 +185,26 @@ def _kg_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concept_cooccurrence_pmi(m).orderBy("cui_a", "cui_b")
 
 
+def _kg_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept importance over the CORPUS-derived graph: weighted
+    PageRank on the co-occurrence edges, weight = shared-doc count (both
+    directions — the graph is undirected)."""
+    from nobletools_spark.graph.analytics import pagerank
+    dc = (_kg_mentions_raw(spark, sf_dir)
+          .select("doc_id", "cui").distinct())
+    a = dc.select("doc_id", F.col("cui").alias("a"))
+    b = dc.select("doc_id", F.col("cui").alias("b"))
+    pairs = (a.join(b, "doc_id").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    pairs = pairs.localCheckpoint(eager=True)  # referenced twice below
+    edges = (pairs.select(F.col("a").alias("src"),
+                          F.col("b").alias("dst"), "w")
+             .unionByName(pairs.select(F.col("b").alias("src"),
+                                       F.col("a").alias("dst"), "w")))
+    return pagerank(edges, weight_col="w").orderBy("cui")
+
+
 def _kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering structure of the co-occurrence graph: per-concept
     triangle counts (graph/analytics.py::triangle_counts — wedge join +
@@ -227,7 +247,7 @@ def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-window ordering: the driver evaluates the first 50 entries of
-    this dict. All 80 queries are oracle-backed; the 30 that cannot fit are
+    this dict. All 81 queries are oracle-backed; the 31 that cannot fit are
     explicitly demoted below (each with >=2 green driver rounds in
     CORRECTNESS_r01-r03) and stay covered by scripts/oracle_check.py under
     identical harness semantics."""
@@ -249,9 +269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence_pmi": _kg_cooccurrence_pmi,
         "kg_degree_stats": _kg_degree_stats,
         "kg_triangle_counts": _kg_triangle_counts,
+        "kg_weighted_pagerank": _kg_weighted_pagerank,
     })
     with_oracle = set(oracle_sql())
-    # ALL 80 queries are oracle-backed but the driver checks only the
+    # ALL 81 queries are oracle-backed but the driver checks only the
     # first 50. Round-4 window ROTATION (VERDICT r3 #2): the 18 entries
     # below are long-green relational queries, each with >=2 green rows
     # in CORRECTNESS_r01/r02/r03 AND pytest-pinned semantics; demoting
@@ -291,7 +312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "date_functions", "dedup_exact_documents",
               # fifth r4 rotation: thrice-green embedding_cosine_topk
               # steps out for the end-to-end curation composition query
-              "embedding_cosine_topk")
+              "embedding_cosine_topk",
+              # sixth r4 rotation: twice-green simhash pairs steps out so
+              # weighted PageRank gets a driver-validated round
+              "simhash_neardup_pairs")
     def _shipped(fn):
         # every query may reach a pandas UDF whose closure imports the
         # package on executor workers — ship it regardless of driver cwd
@@ -320,41 +344,68 @@ def _edges_values() -> str:
     return f"(VALUES {rows})"
 
 
-def _kg_pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
-    """Chained-CTE PageRank: iteration k's ranks computed from k-1's, the
+def _pagerank_chain_sql(damping: float = 0.85, iterations: int = 10) -> str:
+    """Chained-CTE PageRank continuation over an in-scope MATERIALIZED CTE
+    ``pr_e(src, dst, w)``: iteration k's ranks computed from k-1's, the
     dangling mass redistributed uniformly — identical math to
     graph/analytics.py::pagerank, unrolled because recursive CTEs cannot
-    aggregate over their own prior rows."""
-    # MATERIALIZED everywhere a CTE is referenced more than once: DuckDB
-    # inlines plain CTEs per reference, and r{k-1} appears twice per
-    # iteration (contribs + dangling mass) — without the hint the chain
-    # re-executes 2^iterations times (measured ~190 s vs ~1 s at 10 iters)
-    sql = f"""
-WITH edges AS MATERIALIZED (SELECT DISTINCT * FROM {_edges_values()}
-                            t(src, dst)),
-v AS MATERIALIZED (SELECT src AS cui FROM edges
-                   UNION SELECT dst FROM edges),
-nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
-od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
-       FROM edges GROUP BY src),
-r0 AS MATERIALIZED (SELECT cui, 1.0 / nn.n AS rank FROM v CROSS JOIN nn)"""
+    aggregate over their own prior rows. MATERIALIZED everywhere a CTE is
+    referenced more than once: DuckDB inlines plain CTEs per reference,
+    and pr_r{k-1} appears twice per iteration (contribs + dangling mass)
+    — without the hint the chain re-executes 2^iterations times
+    (measured ~190 s vs ~1 s at 10 iters). CTE names are pr_-prefixed so
+    the chain composes with the matcher base CTEs."""
+    sql = f""",
+pr_v AS MATERIALIZED (SELECT src AS cui FROM pr_e
+                      UNION SELECT dst FROM pr_e),
+pr_nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr_v),
+pr_od AS MATERIALIZED (SELECT src, sum(w) AS outdeg
+       FROM pr_e GROUP BY src),
+pr_r0 AS MATERIALIZED (SELECT cui, 1.0 / pr_nn.n AS rank
+                       FROM pr_v CROSS JOIN pr_nn)"""
     for k in range(1, iterations + 1):
-        prev = f"r{k - 1}"
+        prev = f"pr_r{k - 1}"
         sql += f""",
-c{k} AS (SELECT e.dst AS cui, sum(r.rank / od.outdeg) AS contrib
-         FROM {prev} r JOIN edges e ON r.cui = e.src
-         JOIN od ON od.src = e.src GROUP BY e.dst),
-d{k} AS (SELECT coalesce(sum(rank), 0) AS mass FROM {prev}
-         WHERE cui NOT IN (SELECT src FROM edges)),
-r{k} AS MATERIALIZED (SELECT v.cui,
-                (1 - {damping}) / nn.n
-                + {damping} * (coalesce(c.contrib, 0) + d{k}.mass / nn.n)
+pr_c{k} AS (SELECT e.dst AS cui, sum(r.rank * e.w / od.outdeg) AS contrib
+         FROM {prev} r JOIN pr_e e ON r.cui = e.src
+         JOIN pr_od od ON od.src = e.src GROUP BY e.dst),
+pr_d{k} AS (SELECT coalesce(sum(rank), 0) AS mass FROM {prev}
+         WHERE cui NOT IN (SELECT src FROM pr_e)),
+pr_r{k} AS MATERIALIZED (SELECT pr_v.cui,
+                (1 - {damping}) / pr_nn.n
+                + {damping} * (coalesce(c.contrib, 0)
+                               + pr_d{k}.mass / pr_nn.n)
                 AS rank
-         FROM v LEFT JOIN c{k} c ON c.cui = v.cui
-         CROSS JOIN nn CROSS JOIN d{k})"""
+         FROM pr_v LEFT JOIN pr_c{k} c ON c.cui = pr_v.cui
+         CROSS JOIN pr_nn CROSS JOIN pr_d{k})"""
     return sql + f"""
-SELECT cui, round(rank, 6) AS rank FROM r{iterations} ORDER BY cui
+SELECT cui, round(rank, 6) AS rank FROM pr_r{iterations} ORDER BY cui
 """
+
+
+def _kg_pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
+    return f"""
+WITH pr_e AS MATERIALIZED (SELECT DISTINCT t.src, t.dst, 1.0 AS w
+                           FROM {_edges_values()} t(src, dst))""" \
+        + _pagerank_chain_sql(damping, iterations)
+
+
+def _kg_weighted_pagerank_oracle(damping: float = 0.85,
+                                 iterations: int = 10) -> str:
+    """Weighted PageRank over the doc-level co-occurrence graph: edge
+    weight = co-occurrence doc count, both directions (the graph is
+    undirected); composes the matcher base CTEs with the shared chain."""
+    from nobletools_spark.relational import kg_oracle as KO
+    return KO._base_ctes() + """
+, pr_dc AS MATERIALIZED (SELECT DISTINCT doc_id, cui FROM men),
+pr_wp AS MATERIALIZED (
+  SELECT a.cui AS a, b.cui AS b, CAST(count(*) AS DOUBLE) AS w
+  FROM pr_dc a JOIN pr_dc b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui),
+pr_e AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM pr_wp
+  UNION ALL SELECT b AS src, a AS dst, w FROM pr_wp)""" \
+        + _pagerank_chain_sql(damping, iterations)
 
 
 def _kg_ancestors_oracle() -> str:
@@ -440,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_instances": KO.kg_instances_sql(),
         "kg_canonical_triples": KO.kg_canonical_triples_sql(),
         "kg_pagerank": _kg_pagerank_oracle(),
+        "kg_weighted_pagerank": _kg_weighted_pagerank_oracle(),
         "kg_cooccurrence_pmi": KO.kg_cooccurrence_pmi_sql(),
         "kg_triangle_counts": KO.kg_triangle_counts_sql(),
         "kg_degree_stats": f"""

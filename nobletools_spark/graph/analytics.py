@@ -30,30 +30,37 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 10,
-             round_dp: int = 6) -> DataFrame:
-    """Fixed-iteration PageRank over a directed edge table ``(src, dst)``.
+             round_dp: int = 6, weight_col: str | None = None) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table ``(src, dst)``,
+    optionally weighted by ``weight_col``.
 
     Semantics (the textbook formulation, deterministic for a fixed
     iteration count):
 
         rank_0(v)   = 1/N
-        rank_k+1(v) = (1-d)/N + d * (sum_{u->v} rank_k(u)/outdeg(u)
+        rank_k+1(v) = (1-d)/N + d * (sum_{u->v} rank_k(u) * w(u,v)/W(u)
                                      + dangling_k/N)
 
-    where ``dangling_k`` is the total rank held by vertices with no
-    out-edges (their mass redistributes uniformly, keeping ranks summing
-    to 1). Returns ``(cui, rank)`` with ``rank`` rounded to ``round_dp``
-    so engine summation order cannot flip a value hash.
+    where W(u) is u's total outgoing weight (unweighted: every edge
+    weighs 1, so w/W = 1/outdeg), and ``dangling_k`` is the total rank
+    held by vertices with no out-edges (their mass redistributes
+    uniformly, keeping ranks summing to 1). Returns ``(cui, rank)`` with
+    ``rank`` rounded to ``round_dp`` so engine summation order cannot
+    flip a value hash.
     """
-    edges = edges.select(F.col("src").cast("string").alias("src"),
-                         F.col("dst").cast("string").alias("dst")).distinct()
+    cols = [F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("w"))
+    edges = edges.select(*cols).distinct()
+    if weight_col is None:
+        edges = edges.withColumn("w", F.lit(1.0))
     vertices = (edges.select(F.col("src").alias("cui"))
                 .union(edges.select(F.col("dst").alias("cui")))
                 .distinct())
     vertices = vertices.localCheckpoint(eager=True)
     n_df = vertices.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    outdeg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
     # contribution weight per edge is static across iterations — precompute
     w_edges = edges.join(outdeg, "src").localCheckpoint(eager=True)
 
@@ -64,7 +71,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 10,
     for _ in range(iterations):
         contrib = (ranks.join(w_edges, ranks.cui == w_edges.src)
                    .groupBy("dst")
-                   .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                   .agg(F.sum(F.col("rank") * F.col("w") / F.col("outdeg"))
                         .alias("contrib"))
                    .withColumnRenamed("dst", "cui"))
         dangling = (ranks.join(outdeg, ranks.cui == outdeg.src, "left_anti")

@@ -182,3 +182,51 @@ class TestClusterSample:
                                   "vec_id long, cluster int")
         got = cluster_sample(a, per_cluster=5).collect()
         assert len(got) == 3
+
+
+class TestWeightedPageRank:
+    def test_matches_python_reference(self, spark):
+        rng = random.Random(19)
+        verts = [f"v{i}" for i in range(20)]
+        edges = sorted({(rng.choice(verts), rng.choice(verts),
+                         float(rng.randint(1, 9)))
+                        for _ in range(50)})
+        edges = [(s, d, w) for s, d, w in edges if s != d]
+
+        def py_ref(damping=0.85, iterations=10):
+            vs = sorted({x for s, d, _ in edges for x in (s, d)})
+            n = len(vs)
+            wsum = {}
+            for s, _, w in edges:
+                wsum[s] = wsum.get(s, 0.0) + w
+            rank = {v: 1.0 / n for v in vs}
+            for _ in range(iterations):
+                contrib = {v: 0.0 for v in vs}
+                for s, d, w in edges:
+                    contrib[d] += rank[s] * w / wsum[s]
+                dangling = sum(rank[v] for v in vs if v not in wsum)
+                rank = {v: (1 - damping) / n
+                        + damping * (contrib[v] + dangling / n) for v in vs}
+            return {v: round(r, 6) for v, r in rank.items()}
+
+        df = spark.createDataFrame(edges, "src string, dst string, w double")
+        got = {r.cui: r.rank
+               for r in pagerank(df, weight_col="w").collect()}
+        assert got == py_ref()
+
+    def test_uniform_weights_equal_unweighted(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+                 ("d", "a")]
+        plain = pagerank(_edges_df(spark, edges)).collect()
+        wdf = spark.createDataFrame([(s, d, 7.0) for s, d in edges],
+                                    "src string, dst string, w double")
+        weighted = pagerank(wdf, weight_col="w").collect()
+        assert sorted(map(tuple, plain)) == sorted(map(tuple, weighted))
+
+    def test_heavier_edge_pulls_rank(self, spark):
+        # a splits mass 9:1 between b and c -> b must outrank c
+        wdf = spark.createDataFrame(
+            [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0),
+             ("c", "a", 1.0)], "src string, dst string, w double")
+        got = {r.cui: r.rank for r in pagerank(wdf, weight_col="w").collect()}
+        assert got["b"] > got["c"]
