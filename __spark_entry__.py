@@ -4,7 +4,7 @@
 ``queries()`` exposes the relational operator surface (SURVEY.md §2.J), the
 training-data-pipeline operators, and the KG pipeline stages; each callable
 takes (spark, sf_dir) and returns a DataFrame. ``oracle_sql()`` supplies the
-DuckDB-equivalent SQL for EVERY query (81/81) — the KG/NLP queries are
+DuckDB-equivalent SQL for EVERY query (82/82) — the KG/NLP queries are
 oracled by relational/kg_oracle.py's full SQL re-derivation of the
 best-match pipeline, on top of the pytest golden/round-trip suites.
 """
@@ -185,6 +185,21 @@ def _kg_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concept_cooccurrence_pmi(m).orderBy("cui_a", "cui_b")
 
 
+def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the co-occurrence graph, singleton
+    concepts included (graph/analytics.py::connected_components — the
+    hybrid union-find / min-label engine)."""
+    from nobletools_spark.graph.analytics import connected_components
+    dc = (_kg_mentions_raw(spark, sf_dir)
+          .select("doc_id", "cui").distinct())
+    a = dc.select("doc_id", F.col("cui").alias("a"))
+    b = dc.select("doc_id", F.col("cui").alias("b"))
+    edges = (a.join(b, "doc_id").where(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    verts = dc.select("cui").distinct()
+    return connected_components(edges, vertices=verts).orderBy("cui")
+
+
 def _kg_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concept importance over the CORPUS-derived graph: weighted
     PageRank on the co-occurrence edges, weight = shared-doc count (both
@@ -247,7 +262,7 @@ def _kg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-window ordering: the driver evaluates the first 50 entries of
-    this dict. All 81 queries are oracle-backed; the 31 that cannot fit are
+    this dict. All 82 queries are oracle-backed; the 32 that cannot fit are
     explicitly demoted below (each with >=2 green driver rounds in
     CORRECTNESS_r01-r03) and stay covered by scripts/oracle_check.py under
     identical harness semantics."""
@@ -270,9 +285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": _kg_degree_stats,
         "kg_triangle_counts": _kg_triangle_counts,
         "kg_weighted_pagerank": _kg_weighted_pagerank,
+        "kg_components": _kg_components,
     })
     with_oracle = set(oracle_sql())
-    # ALL 81 queries are oracle-backed but the driver checks only the
+    # ALL 82 queries are oracle-backed but the driver checks only the
     # first 50. Round-4 window ROTATION (VERDICT r3 #2): the 18 entries
     # below are long-green relational queries, each with >=2 green rows
     # in CORRECTNESS_r01/r02/r03 AND pytest-pinned semantics; demoting
@@ -315,7 +331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "embedding_cosine_topk",
               # sixth r4 rotation: twice-green simhash pairs steps out so
               # weighted PageRank gets a driver-validated round
-              "simhash_neardup_pairs")
+              "simhash_neardup_pairs",
+              # seventh r4 rotation: twice-green minhash groups steps out
+              # so the public connected-components surface gets one
+              "minhash_dup_groups")
     def _shipped(fn):
         # every query may reach a pandas UDF whose closure imports the
         # package on executor workers — ship it regardless of driver cwd
@@ -494,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_weighted_pagerank": _kg_weighted_pagerank_oracle(),
         "kg_cooccurrence_pmi": KO.kg_cooccurrence_pmi_sql(),
         "kg_triangle_counts": KO.kg_triangle_counts_sql(),
+        "kg_components": KO.kg_components_sql(),
         "kg_degree_stats": f"""
 WITH t AS ({KO.kg_triples_sql()}),
 e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM t),

@@ -112,6 +112,33 @@ def degree_stats(edges: DataFrame) -> DataFrame:
                         (F.col("out_degree") + F.col("in_degree"))))
 
 
+def connected_components(edges: DataFrame,
+                         vertices: DataFrame | None = None) -> DataFrame:
+    """``(a, b)`` undirected edges -> ``(cui, component)`` with the
+    component labeled by its minimum member — the public graph surface
+    over the hybrid engine `textdata/dedup.py::candidate_components`
+    (driver union-find under the edge budget, distributed min-label
+    propagation with per-round lineage truncation above it; the same
+    machinery canonicalization and dup-grouping run on).
+
+    ``vertices`` (one ``cui`` column) adds isolated vertices as their own
+    singleton components — edge lists alone cannot name them.
+    """
+    from ..textdata.dedup import candidate_components
+    comp = candidate_components(
+        edges.select(F.col("a").cast("string").alias("a"),
+                     F.col("b").cast("string").alias("b")))
+    out = comp.select(F.col("doc_id").alias("cui"),
+                      F.col("comp").alias("component"))
+    if vertices is not None:
+        singles = (vertices.select(F.col("cui").cast("string").alias("cui"))
+                   .distinct()
+                   .join(out, "cui", "left_anti")
+                   .select("cui", F.col("cui").alias("component")))
+        out = out.unionByName(singles)
+    return out
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts over an undirected edge table given in
     canonical orientation ``(a, b)`` with ``a < b``.

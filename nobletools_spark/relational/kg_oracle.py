@@ -485,6 +485,31 @@ ORDER BY vv.cui
 """
 
 
+def kg_components_sql() -> str:
+    """Connected components over the co-occurrence graph (min reachable
+    cui per concept via a recursive closure), singletons included —
+    oracle twin of `graph/analytics.py::connected_components` over the
+    detected mentions."""
+    base = _base_ctes()
+    if base.lstrip().startswith("WITH RECURSIVE"):
+        head = base
+    else:
+        head = base.replace("WITH ", "WITH RECURSIVE ", 1)
+    return head + """
+, cc_dc AS MATERIALIZED (SELECT DISTINCT doc_id, cui FROM men),
+cc_e AS MATERIALIZED (
+  SELECT a.cui AS src, b.cui AS dst
+  FROM cc_dc a JOIN cc_dc b
+    ON a.doc_id = b.doc_id AND a.cui <> b.cui),
+cc_v AS MATERIALIZED (SELECT DISTINCT cui FROM cc_dc),
+reach(cui, r) AS (
+  SELECT cui, cui FROM cc_v
+  UNION
+  SELECT rr.cui, e.dst FROM reach rr JOIN cc_e e ON rr.r = e.src)
+SELECT cui, min(r) AS component FROM reach GROUP BY cui ORDER BY cui
+"""
+
+
 def default_modifiers_json() -> str:
     """The constant map annotate_documents emits when no modifier matches:
     Spark to_json of a map<string,string> — keys in map insertion order

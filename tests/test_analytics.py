@@ -230,3 +230,40 @@ class TestWeightedPageRank:
              ("c", "a", 1.0)], "src string, dst string, w double")
         got = {r.cui: r.rank for r in pagerank(wdf, weight_col="w").collect()}
         assert got["b"] > got["c"]
+
+
+class TestConnectedComponents:
+    def test_components_and_singletons(self, spark):
+        from nobletools_spark.graph.analytics import connected_components
+        e = spark.createDataFrame(
+            [("b", "a"), ("b", "c"), ("x", "y")], "a string, b string")
+        v = spark.createDataFrame([("a",), ("b",), ("c",), ("x",), ("y",),
+                                   ("lone",)], "cui string")
+        got = {r.cui: r.component
+               for r in connected_components(e, vertices=v).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a",
+                       "x": "x", "y": "x", "lone": "lone"}
+
+    def test_matches_python_union_find(self, spark):
+        from nobletools_spark.graph.analytics import connected_components
+        rng = random.Random(31)
+        verts = [f"v{i:02d}" for i in range(25)]
+        edges = sorted({tuple(sorted(rng.sample(verts, 2)))
+                        for _ in range(18)})
+        parent = {v: v for v in verts}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+        want = {v: find(v) for v in verts}
+        e = spark.createDataFrame(edges, "a string, b string")
+        v = spark.createDataFrame([(x,) for x in verts], "cui string")
+        got = {r.cui: r.component
+               for r in connected_components(e, vertices=v).collect()}
+        assert got == want

@@ -63,7 +63,7 @@ def test_kg_oracle_matches_spark(spark, con, entry, name):
 # to the tail. r4's 3 new queries also sit in the tail, slated for r5.
 DRIVER_WINDOW = [
     "gopher_repetition_stats", "c4_quality_filters", "substring_dup_spans",
-    "minhash_neardup_pairs", "minhash_dup_groups", "embedding_neardup_pairs",
+    "minhash_neardup_pairs", "embedding_neardup_pairs",
     "embedding_ann_lsh_pairs", "embedding_ann_lsh_recall",
     "token_counts_bpe", "doc_fingerprint_groups", "media_decode_dims",
     "media_feature_vectors", "approx_distinct_users", "values_inline_union",
@@ -78,7 +78,7 @@ DRIVER_WINDOW = [
     "kg_root_paths", "kg_sentences", "kg_mentions", "kg_mention_counts",
     "kg_triples", "kg_annotated", "kg_canonical_triples", "kg_instances",
     "kg_pagerank", "kg_cooccurrence_pmi", "kg_degree_stats",
-    "kg_triangle_counts", "kg_weighted_pagerank",
+    "kg_triangle_counts", "kg_weighted_pagerank", "kg_components",
 ]
 
 
