@@ -31,8 +31,13 @@ import sys
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="parquet path: interleaved documents or flat "
+                    help="corpus path: interleaved documents or flat "
                          "(doc_id, text)")
+    ap.add_argument("--format", choices=("parquet", "jsonl"),
+                    default="parquet")
+    ap.add_argument("--quarantine", default=None,
+                    help="with --format jsonl: where to write malformed "
+                         "lines (default: skip writing, count only)")
     ap.add_argument("--checkpoint-root", required=True)
     ap.add_argument("--table-root", default=None,
                     help="snapshot-committed triple table location "
@@ -53,7 +58,15 @@ def main(argv=None) -> int:
     from nobletools_spark.terminology.dataeng import dataeng_dictionary
 
     spark = SparkSession.builder.getOrCreate()
-    docs = spark.read.parquet(args.input)
+    n_quarantined = None
+    if args.format == "jsonl":
+        from nobletools_spark.pipeline.jsonl import read_documents_jsonl
+        docs, quarantine = read_documents_jsonl(spark, args.input)
+        if args.quarantine:
+            quarantine.write.mode("overwrite").json(args.quarantine)
+        n_quarantined = quarantine.count()
+    else:
+        docs = spark.read.parquet(args.input)
     if "spans" not in docs.columns:
         docs = interleave_flat_documents(docs)
 
@@ -74,11 +87,14 @@ def main(argv=None) -> int:
         snapshot_id = SnapshotTable(
             spark, args.table_root).current_snapshot_id()
 
-    print(json.dumps({
+    status = {
         "stages": {name: {"rows": r.rows, "resumed": r.resumed}
                    for name, r in results.items()},
         "snapshot_id": snapshot_id,
-    }))
+    }
+    if n_quarantined is not None:
+        status["quarantined"] = n_quarantined
+    print(json.dumps(status))
     return 0
 
 
