@@ -1450,6 +1450,38 @@ def kmeans_clusters(spark, sf):
     return kmeans_assignments(e, dim=64, k=8, iterations=3).orderBy("vec_id")
 
 
+def _hashing_oracles():
+    from ..textdata.vectorize import hashing_buckets_sql, sparse_cosine_sql
+    return hashing_buckets_sql(dim=1024), sparse_cosine_sql(dim=1024,
+                                                            threshold=0.5)
+
+
+_HB_SQL, _SC_SQL = _hashing_oracles()
+
+
+@_q("hashing_doc_buckets", _HB_SQL)
+def hashing_doc_buckets(spark, sf):
+    # feature-hashing vectorizer (hashing trick): stateless, no
+    # vocabulary, pure map stage at any corpus size; sparse long-format
+    # output (zero buckets omitted)
+    from ..textdata.vectorize import hashing_term_buckets
+    d = load(spark, sf, "documents")
+    return hashing_term_buckets(d, dim=1024).orderBy("doc_id", "bucket")
+
+
+@_q("hashing_cosine_pairs", _SC_SQL)
+def hashing_cosine_pairs(spark, sf):
+    # inverted-index sparse similarity join: pairs meet only on shared
+    # hash buckets (structural pruning), products partial-aggregate
+    # map-side — the scalable sparse-vector cosine, no dense cross join
+    from ..textdata.vectorize import (hashing_term_buckets,
+                                      sparse_cosine_pairs)
+    d = load(spark, sf, "documents")
+    hv = hashing_term_buckets(d, dim=1024)
+    hv = hv.localCheckpoint(eager=True)  # both join sides reuse it
+    return sparse_cosine_pairs(hv, threshold=0.5).orderBy("a", "b")
+
+
 @_q("curation_pipeline", r"""
 WITH d AS MATERIALIZED (
   SELECT doc_id, lang, source, text,

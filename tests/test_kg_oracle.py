@@ -66,10 +66,10 @@ DRIVER_WINDOW = [
     "minhash_neardup_pairs", "embedding_neardup_pairs",
     "embedding_ann_lsh_pairs", "embedding_ann_lsh_recall",
     "token_counts_bpe", "doc_fingerprint_groups", "media_decode_dims",
-    "media_feature_vectors", "approx_distinct_users", "values_inline_union",
-    "udtf_sentence_explode", "array_functions", "higher_order_array_ops",
-    "template_items", "embedding_dup_groups", "kmeans_clusters",
-    "curation_pipeline", "kmeans_cluster_sample",
+    "media_feature_vectors", "approx_distinct_users",
+    "udtf_sentence_explode", "higher_order_array_ops", "template_items",
+    "embedding_dup_groups", "kmeans_clusters", "hashing_doc_buckets",
+    "hashing_cosine_pairs", "curation_pipeline", "kmeans_cluster_sample",
     "datamix_stratified_sample", "datamix_report", "pack_sequences_budget",
     "bpe_pair_counts", "minhash_incremental_pairs", "tfidf_top_terms",
     "bigram_lm_scores", "decontamination_pairs", "pii_scrub_stats",
