@@ -192,6 +192,9 @@ def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nobletools_spark.graph.analytics import connected_components
     dc = (_kg_mentions_raw(spark, sf_dir)
           .select("doc_id", "cui").distinct())
+    # dc feeds both self-join sides AND the vertex frame — materialize
+    # once or the mention pipeline replays per reference
+    dc = dc.localCheckpoint(eager=True)
     a = dc.select("doc_id", F.col("cui").alias("a"))
     b = dc.select("doc_id", F.col("cui").alias("b"))
     edges = (a.join(b, "doc_id").where(F.col("a") < F.col("b"))

@@ -1451,9 +1451,16 @@ def kmeans_clusters(spark, sf):
 
 
 def _hashing_oracles():
+    # threshold 0.8: on a templated corpus the 0.5 band admits most
+    # same-template pairs (~9.5M rows at sf0.1 — a quadratic OUTPUT, the
+    # one thing a scale path must never produce); 0.8 keeps the output
+    # near-dup-sized at every SF
+    # dim 8192: the inverted-index join costs sum_b(docs_in_bucket^2) —
+    # bucket occupancy, not output size, is the scale knob; 8x the dim
+    # cuts the join ~64x while improving hash quality
     from ..textdata.vectorize import hashing_buckets_sql, sparse_cosine_sql
-    return hashing_buckets_sql(dim=1024), sparse_cosine_sql(dim=1024,
-                                                            threshold=0.5)
+    return (hashing_buckets_sql(dim=8192),
+            sparse_cosine_sql(dim=8192, threshold=0.8))
 
 
 _HB_SQL, _SC_SQL = _hashing_oracles()
@@ -1466,7 +1473,7 @@ def hashing_doc_buckets(spark, sf):
     # output (zero buckets omitted)
     from ..textdata.vectorize import hashing_term_buckets
     d = load(spark, sf, "documents")
-    return hashing_term_buckets(d, dim=1024).orderBy("doc_id", "bucket")
+    return hashing_term_buckets(d, dim=8192).orderBy("doc_id", "bucket")
 
 
 @_q("hashing_cosine_pairs", _SC_SQL)
@@ -1477,9 +1484,9 @@ def hashing_cosine_pairs(spark, sf):
     from ..textdata.vectorize import (hashing_term_buckets,
                                       sparse_cosine_pairs)
     d = load(spark, sf, "documents")
-    hv = hashing_term_buckets(d, dim=1024)
+    hv = hashing_term_buckets(d, dim=8192)
     hv = hv.localCheckpoint(eager=True)  # both join sides reuse it
-    return sparse_cosine_pairs(hv, threshold=0.5).orderBy("a", "b")
+    return sparse_cosine_pairs(hv, threshold=0.8).orderBy("a", "b")
 
 
 @_q("curation_pipeline", r"""

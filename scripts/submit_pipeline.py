@@ -87,8 +87,17 @@ def main(argv=None) -> int:
         snapshot_id = SnapshotTable(
             spark, args.table_root).current_snapshot_id()
 
+    def skew(r):
+        # max/median partition-row ratio from the per-partition lineage —
+        # the operator-facing signal for turning up --salt-buckets
+        counts = sorted(x["rows_out"] for x in r.lineage) or [0]
+        med = counts[len(counts) // 2]
+        return {"partitions": len(counts), "max_rows": counts[-1],
+                "skew_ratio": round(counts[-1] / med, 2) if med else None}
+
     status = {
-        "stages": {name: {"rows": r.rows, "resumed": r.resumed}
+        "stages": {name: {"rows": r.rows, "resumed": r.resumed,
+                          "skew": skew(r)}
                    for name, r in results.items()},
         "snapshot_id": snapshot_id,
     }

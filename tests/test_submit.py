@@ -52,6 +52,9 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert r1.returncode == 0, r1.stderr[-3000:]
     out1 = json.loads(r1.stdout.strip().splitlines()[-1])
     assert out1["stages"]["triples"]["rows"] > 0
+    sk = out1["stages"]["mentions"]["skew"]
+    assert sk["partitions"] >= 1 and sk["max_rows"] >= 1
+    assert sk["skew_ratio"] is None or sk["skew_ratio"] >= 1
     assert out1["snapshot_id"] == 1
     assert not out1["stages"]["triples"]["resumed"]
 
