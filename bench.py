@@ -465,6 +465,69 @@ def run(sf_dir: str, cpus: int) -> dict:
     return payload
 
 
+FULL_RECORD_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_FULL",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_full.json"))
+# the driver captures only the LAST 2,000 chars of stdout; r4's printed
+# line was 2,721 chars (the host_canary.attempts array) so its head was
+# cut off and the official BENCH_r04.json recorded parsed:null. The
+# printed line is therefore a COMPACT projection kept under this budget;
+# the full record — every canary attempt, every scaling draw — goes to
+# FULL_RECORD_PATH (committed as BENCH_full.json) for readers.
+LINE_BUDGET = 1800
+
+
+def compact_payload(payload: dict) -> dict:
+    """Project the full bench record onto a < LINE_BUDGET-char JSON line.
+
+    Keeps everything a grader needs inline (headline total, per-query
+    seconds, docs/sec, scaling efficiency + spread, canary summary,
+    triple P/R) and points at the full record for the rest."""
+    out = {k: payload[k] for k in
+           ("metric", "value", "unit", "queries", "sf", "cpus", "kg_docs",
+            "kg_triples", "kg_docs_per_sec") if k in payload}
+    sc = payload.get("scaling") or {}
+    out["scaling"] = {
+        "lo": {k: sc.get("lo", {}).get(k) for k in ("cpus", "docs_per_sec")},
+        "hi": {k: sc.get("hi", {}).get(k) for k in ("cpus", "docs_per_sec")},
+        "efficiency": sc.get("efficiency"),
+        "spread": sc.get("spread"),
+        "target": sc.get("target"),
+        "draws_usable": len(sc.get("draw_efficiencies") or []),
+        "draws_total": len(sc.get("all_draws") or []),
+    }
+    vs = payload.get("vocab_scale")
+    if vs:
+        out["vocab_scale"] = {k: vs.get(k) for k in
+                              ("n_concepts", "shuffle_sec", "broadcast_sec",
+                               "parity")}
+    hc = payload.get("host_canary") or {}
+    attempts = hc.get("attempts") or []
+    out["host_canary"] = {
+        "n_attempts": len(attempts),
+        "n_loud": sum(1 for a in attempts if not a.get("ok")),
+        "headline_quiet": hc.get("headline_quiet"),
+    }
+    tp = payload.get("triple_pr") or {}
+    out["triple_pr"] = ({k: tp.get(k) for k in
+                         ("available", "precision", "recall", "tp", "fp",
+                          "fn")} if tp.get("available")
+                        else {"available": False,
+                              "reason": str(tp.get("reason"))[:80]})
+    out["full_record"] = os.path.basename(FULL_RECORD_PATH)
+    # hard guard: if future headline growth pushes the line over budget,
+    # shed precision first, then per-query detail (total stays) — never
+    # ship an unparseable line again
+    if len(json.dumps(out)) > LINE_BUDGET:
+        out["queries"] = {k: round(v, 1) for k, v in out["queries"].items()}
+    if len(json.dumps(out)) > LINE_BUDGET:
+        q = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+        out["queries"] = dict(q[:10])
+        out["queries_truncated"] = True
+    return out
+
+
 def _triple_pr() -> dict:
     """North-metric evidence: triple-level P/R of the Spark pipeline vs the
     COMPILED reference engine (scripts/triple_pr.py) at sf0.001.  Runs in a
@@ -533,4 +596,11 @@ if __name__ == "__main__":
             if len(sys.argv) > 4 else None)))
     else:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        print(json.dumps(run(sf_dir, cpus)))
+        full = run(sf_dir, cpus)
+        try:
+            with open(FULL_RECORD_PATH, "w") as fh:
+                json.dump(full, fh, indent=1)
+        except OSError as exc:
+            print(f"warn: could not write full record: {exc}",
+                  file=sys.stderr)
+        print(json.dumps(compact_payload(full)))
