@@ -11,6 +11,7 @@ import random
 import pytest
 
 from nobletools_spark.textdata.vectorize import (hashing_term_buckets,
+                                                 prefix_indexed_buckets,
                                                  sparse_cosine_pairs)
 
 
@@ -81,3 +82,73 @@ class TestSparseCosine:
         b2 = {r.bucket for r in hv.where("doc_id = 2").collect()}
         assert not (b1 & b2)
         assert sparse_cosine_pairs(hv, threshold=-1.0).count() == 0
+
+
+def _brute_pairs(texts, dim, threshold):
+    """All-pairs exact-integer dot product over the python vectorizer."""
+    vecs = {d: {b: round(w * 1_000_000) for b, w in v.items()}
+            for d, v in _py_buckets(texts, dim).items()}
+    thr = int(threshold * 1_000_000_000_000)
+    out = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            dot = sum(w * vecs[b][k] for k, w in vecs[a].items()
+                      if k in vecs[b])
+            if vecs[a].keys() & vecs[b].keys() and dot >= thr:
+                out[(a, b)] = dot
+    return out
+
+
+class TestPrefixFilterGuard:
+    """Hot-bucket guard (prefix filtering, Bayardo et al. WWW'07): pruning
+    must be EXACT w.r.t. the threshold, and a planted high-df token must
+    not fan out O(n^2) candidate rows from its bucket."""
+
+    def _hot_corpus(self, n=60, seed=7):
+        # every doc carries the same hot token ("the"-shaped df=100%)
+        # among otherwise doc-specific words; near-dup pairs planted
+        rng = random.Random(seed)
+        texts = {}
+        for i in range(n):
+            body = " ".join(f"tok{i}_{j}" for j in range(rng.randint(8, 14)))
+            texts[i] = f"hot {body}"
+        for i in range(0, n, 10):                     # planted near-dups
+            texts[i + 1] = texts[i] + " extra"
+        return texts
+
+    def test_exact_vs_brute_force(self, spark):
+        texts = self._hot_corpus()
+        for thr in (0.9, 0.5, 0.2):
+            hv = hashing_term_buckets(_docs(spark, texts), dim=512)
+            got = {(r.a, r.b): r.cosine_e12
+                   for r in sparse_cosine_pairs(hv, threshold=thr).collect()}
+            assert got == _brute_pairs(texts, 512, thr)
+
+    def test_hot_bucket_candidate_volume_bounded(self, spark):
+        texts = self._hot_corpus(n=60)
+        hv = hashing_term_buckets(_docs(spark, texts), dim=512)
+        hot_bucket = int(hashlib.md5(b"hot").hexdigest()[:8], 16) % 512
+        t = prefix_indexed_buckets(hv, threshold=0.8)
+        hot = t.where(t.bucket == hot_bucket)
+        n_total = hot.count()
+        n_indexed = hot.where("indexed").count()
+        # every doc hits the hot bucket (modulo a rare same-bucket second
+        # token with a cancelling sign)
+        assert n_total >= 55
+        # df-desc ordering walks the hot bucket FIRST in every doc; its
+        # contribution is far below the 0.8 budget, so it stays in the
+        # unindexed suffix everywhere: candidate fanout from this bucket
+        # is n_indexed * n_total = 0, not n_total^2
+        assert n_indexed == 0
+
+    def test_indexed_rows_shrink_with_threshold(self, spark):
+        texts = self._hot_corpus()
+        hv = hashing_term_buckets(_docs(spark, texts), dim=512)
+        n_all = hv.count()
+        n_idx_hi = prefix_indexed_buckets(hv, 0.9).where("indexed").count()
+        n_idx_lo = prefix_indexed_buckets(hv, 0.2).where("indexed").count()
+        assert n_idx_hi < n_idx_lo <= n_all
+        # at 0.9 a unit vector needs < 19% of its mass indexed... just pin
+        # that real pruning happened
+        assert n_idx_hi < n_all * 0.75
