@@ -230,25 +230,36 @@ def ngram_overlap_pairs(train: DataFrame, evalset: DataFrame,
 # -------------------------------------------------- line-level dedup ----
 # CCNet/RefinedWeb-style boilerplate removal: a LINE that appears
 # verbatim in more than one document (nav menus, footers, cookie
-# banners) is dropped from every document carrying it. Two shuffles:
-# one on the line hash (the ">=2 distinct docs" test is running
-# min/max over the hash window — never a collect_set, same hot-key
-# posture as substring_dup_spans), one on doc_id to reassemble.
+# banners) is dropped from every document carrying it. The ">=2
+# distinct docs" test is a groupBy on the line hash — NOT a window:
+# a window over partitionBy(md5(line)) would co-locate every instance
+# of a hot line ("Home", cookie-banner text — precisely the lines this
+# operator exists to remove) in one task, and AQE cannot split window
+# partitions. The groupBy partial-aggregates map-side (the hot key
+# arrives at the reducer pre-collapsed to one row per partition), and
+# the join back to the lines is a join — the shape AQE's skew handling
+# CAN split. Shuffles: line-hash groupBy, dup-hash join, doc_id
+# reassembly.
 
 def line_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """-> (doc_id, n_lines, n_dropped, clean): documents with
     cross-document duplicate lines removed. Blank/whitespace lines are
     never treated as boilerplate (every document has them; dropping
     them would destroy structure)."""
-    from pyspark.sql.window import Window
     lines = df.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
-    w = Window.partitionBy(F.md5(F.trim(F.col("line"))))
-    marked = lines.withColumn(
-        "is_dup",
-        (F.length(F.trim("line")) > 0)
-        & (F.min("doc_id").over(w) != F.max("doc_id").over(w)))
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).withColumn("lh", F.md5(F.trim(F.col("line"))))
+    cross_doc = (lines
+                 .where(F.length(F.trim("line")) > 0)
+                 .groupBy("lh")
+                 .agg(F.min("doc_id").alias("_mn"),
+                      F.max("doc_id").alias("_mx"))
+                 .where(F.col("_mn") != F.col("_mx"))
+                 .select("lh", F.lit(True).alias("_xdoc")))
+    marked = (lines.join(cross_doc, "lh", "left")
+              .withColumn("is_dup", F.coalesce(F.col("_xdoc"),
+                                               F.lit(False))))
     kept = F.filter(F.array_sort(F.collect_list(
         F.struct("pos", "line", "is_dup"))), lambda s: ~s["is_dup"])
     return (marked.groupBy("doc_id")

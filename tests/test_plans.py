@@ -87,6 +87,24 @@ class TestScalePathPlans:
         assert "CartesianProduct" not in plan
         assert "collect_list" not in plan    # star emission is window-min
 
+    def test_line_dedup_cross_doc_test_is_partial_aggregated(self, spark):
+        # the ">=2 distinct docs" test must be a groupBy on the line hash
+        # (map-side partial aggregation collapses a hot boilerplate line
+        # per-partition) joined back to the lines — never a window over
+        # partitionBy(md5(line)), which co-locates every instance of a
+        # hot line in one task and is unsplittable by AQE skew handling
+        from nobletools_spark.textdata.analysis import line_dedup
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(line_dedup(d))
+        assert "partial_min" in plan and "partial_max" in plan
+        # the only Window-free shuffle chain: hash agg -> join -> doc agg
+        assert "Window" not in plan
+        # partial aggregate sits UPSTREAM of the line-hash exchange (the
+        # plan prints parents first, so the map-side child follows it)
+        assert "Exchange hashpartitioning(lh" in plan
+        below_exchange = plan.split("Exchange hashpartitioning(lh", 1)[1]
+        assert "partial_min" in below_exchange
+
     def test_shuffle_match_joins_not_broadcast_dictionary(self, spark):
         # the UMLS-scale path must join the dictionary tables, never
         # collect them to the driver: its plan contains the word/term
