@@ -340,7 +340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "minhash_dup_groups",
               # eighth r4 rotation: two more twice-green rows step out for
               # the feature-hashing vectorizer + sparse-cosine join
-              "values_inline_union", "array_functions")
+              "values_inline_union", "array_functions",
+              # r5 rotation: four-times-green token_counts_bpe steps out
+              # so the oracle-checked IVF ANN query (ann_ivf_topk, the
+              # last un-oracled LLM-pipeline surface) gets its first
+              # driver-validated round
+              "token_counts_bpe")
     def _shipped(fn):
         # every query may reach a pandas UDF whose closure imports the
         # package on executor workers — ship it regardless of driver cwd

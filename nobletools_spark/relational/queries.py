@@ -1450,6 +1450,26 @@ def kmeans_clusters(spark, sf):
     return kmeans_assignments(e, dim=64, k=8, iterations=3).orderBy("vec_id")
 
 
+def _ivf_oracle():
+    from ..textdata.ann import ivf_topk_sql
+    return ivf_topk_sql(dim=64, n_clusters=8, iterations=3, n_probe=2,
+                        k=10)
+
+
+@_q("ann_ivf_topk", _ivf_oracle())
+def ann_ivf_topk(spark, sf):
+    # IVF ANN (FAISS IVF-Flat shape) over the DETERMINISTIC k-means
+    # quantizer: centroid ranking is a window over the k-row centroid
+    # table, list pruning a broadcast semi-join — at scale `cluster` is
+    # the partition key and the scan touches n_probe/n_clusters of the
+    # data. The last un-oracled ANN surface (VERDICT r4 #4): the chained-
+    # CTE oracle replays quantizer + ranking + per-list exact cosine.
+    from ..textdata.ann import ivf_topk
+    e = load(spark, sf, "embeddings")
+    return ivf_topk(e, dim=64, n_clusters=8, iterations=3, n_probe=2,
+                    k=10).orderBy(F.desc("cosine"), "vec_id")
+
+
 def _hashing_oracles():
     # threshold 0.8: on a templated corpus the 0.5 band admits most
     # same-template pairs (~9.5M rows at sf0.1 — a quadratic OUTPUT, the

@@ -9,17 +9,24 @@ Three tiers (SURVEY training-data mandate):
   assignment is the partitioning key, so a query touches n_probe/n_list
   of the data and the scan prunes at the partition level.
 
-Training uses Spark ML KMeans (seeded, deterministic); assignment and
-search are pure DataFrame ops — the centroid table is tiny and broadcast.
+Training uses the repo's deterministic Lloyd's k-means
+(``clustering.kmeans_fit``: md5-seeded init, rounded trajectories) so an
+external SQL engine replays the quantizer exactly — the r4 Spark-ML
+trainer was seeded but not cross-engine deterministic, which kept IVF
+the one un-oracled ANN surface. Assignment and search are pure
+DataFrame ops; the centroid table is tiny and broadcast.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from .clustering import kmeans_cte_chain, kmeans_fit
 from .dedup import _unit, cosine_expr
 
 
@@ -52,26 +59,111 @@ class IvfIndex:
 
 def build_ivf(df: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", n_clusters: int = 16,
-              seed: int = 42) -> IvfIndex:
-    """Fit the coarse quantizer and assign every vector to its cluster."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+              dim: int | None = None, iterations: int = 3) -> IvfIndex:
+    """Fit the coarse quantizer and assign every vector to its cluster.
 
-    unit = df.select(F.col(id_col).alias("id"),
+    The quantizer trains on UNIT-normalized vectors (spherical k-means
+    input, the FAISS ``IndexIVFFlat`` + inner-product convention) via the
+    deterministic Lloyd's loop, so two builds over the same data produce
+    the same inverted lists on any engine."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    unit = df.select(F.col(id_col).alias(id_col),
                      _unit(F.col(vec_col)).alias("v"))
-    feats = unit.withColumn("features", array_to_vector("v"))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="features",
-                predictionCol="cluster")
-    model = km.fit(feats)
-    assigned = (model.transform(feats)
-                .select("id", "v", "cluster"))
+    assigned, cents_df = kmeans_fit(unit, dim=dim, id_col=id_col,
+                                    vec_col="v", k=n_clusters,
+                                    iterations=iterations)
+    cents_rows = {r["cluster"]: [float(x) for x in r["c"]]
+                  for r in cents_df.collect()}        # k rows, tiny
     cents = []
-    for c in model.clusterCenters():
-        vec = [float(x) for x in c]
-        import math
+    for i in range(len(cents_rows)):
+        vec = cents_rows[i]
         nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
         cents.append([x / nrm for x in vec])
-    return IvfIndex(assigned=assigned, centroids=cents, id_col=id_col)
+    return IvfIndex(assigned=assigned.select(F.col("id").alias("id"),
+                                             "v", "cluster"),
+                    centroids=cents, id_col=id_col)
+
+
+def ivf_topk(df: DataFrame, dim: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding", probe_id: int = 0,
+             n_clusters: int = 8, iterations: int = 3, n_probe: int = 2,
+             k: int = 10, round_dp: int = 6) -> DataFrame:
+    """-> (vec_id, cluster, cosine): IVF search as ONE declarative plan —
+    deterministic k-means quantizer over the raw vectors, centroids
+    ranked by (rounded) cosine to the stored vector ``probe_id``, the
+    ``n_probe`` nearest inverted lists scanned exactly, top-``k`` by
+    cosine. No driver-side centroid collect: the ranking is a window over
+    the k-row centroid table and the list pruning a broadcast semi-join —
+    at scale the cluster column is the partition key and this prunes
+    n_probe/n_clusters of the scan. Fully replayed by :func:`ivf_topk_sql`
+    (the DuckDB oracle that closes VERDICT r4 item 4)."""
+    assigned, cents = kmeans_fit(df, dim=dim, id_col=id_col,
+                                 vec_col=vec_col, k=n_clusters,
+                                 iterations=iterations)
+    probe = df.where(F.col(id_col) == probe_id) \
+        .select(F.col(vec_col).cast("array<double>")).head()[0]
+    pn = math.sqrt(sum(float(x) * float(x) for x in probe)) or 1.0
+    plit = F.array(*[F.lit(float(x)) for x in probe])
+
+    def cos(col):
+        nrm = F.sqrt(cosine_expr(col, col))
+        return cosine_expr(col, plit) / (nrm * F.lit(pn))
+
+    ranked = (cents
+              .select("cluster", F.round(cos(F.col("c")), round_dp)
+                      .alias("score"))
+              .withColumn("rn", F.row_number().over(
+                  Window.orderBy(F.desc("score"), F.col("cluster"))))
+              .where(F.col("rn") <= n_probe)
+              .select("cluster"))
+    return (assigned
+            .join(F.broadcast(ranked), "cluster")     # list prune
+            .where(F.col("id") != probe_id)
+            .select(F.col("id").alias(id_col),
+                    F.col("cluster").cast("int").alias("cluster"),
+                    F.round(cos(F.col("v")), 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col).limit(k))
+
+
+def ivf_topk_sql(dim: int = 64, table: str = "embeddings",
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 probe_id: int = 0, n_clusters: int = 8,
+                 iterations: int = 3, n_probe: int = 2, k: int = 10,
+                 round_dp: int = 6) -> str:
+    """DuckDB replay of :func:`ivf_topk`: the chained-CTE k-means plus
+    centroid ranking and per-list exact cosine."""
+    chain, final = kmeans_cte_chain(dim, k=n_clusters,
+                                    iterations=iterations,
+                                    round_dp=round_dp, table=table,
+                                    id_col=id_col, vec_col=vec_col)
+    dot = "list_dot_product"
+    return chain + f""",
+fin AS MATERIALIZED ({final}),
+probe AS MATERIALIZED (SELECT CAST({vec_col} AS DOUBLE[]) AS p
+                       FROM {table} WHERE {id_col} = {probe_id}),
+ranked AS (
+  SELECT cluster,
+         round({dot}(c, (SELECT p FROM probe))
+               / (sqrt({dot}(c, c))
+                  * sqrt({dot}((SELECT p FROM probe),
+                               (SELECT p FROM probe)))), {round_dp})
+           AS score
+  FROM c{iterations}),
+top_lists AS (
+  SELECT cluster FROM (
+    SELECT cluster,
+           row_number() OVER (ORDER BY score DESC, cluster) AS rn
+    FROM ranked) WHERE rn <= {n_probe})
+SELECT a.id AS {id_col}, CAST(a.cluster AS INT) AS cluster,
+       round({dot}(a.v, (SELECT p FROM probe))
+             / (sqrt({dot}(a.v, a.v))
+                * sqrt({dot}((SELECT p FROM probe),
+                             (SELECT p FROM probe)))), 4) AS cosine
+FROM fin a JOIN top_lists USING (cluster)
+WHERE a.id <> {probe_id}
+ORDER BY cosine DESC, {id_col} LIMIT {k}
+"""
 
 
 def brute_topk(df: DataFrame, probe: list[float], k: int = 10,

@@ -28,12 +28,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def kmeans_assignments(df: DataFrame, dim: int, id_col: str = "vec_id",
-                       vec_col: str = "embedding", k: int = 8,
-                       iterations: int = 3,
-                       round_dp: int = 6) -> DataFrame:
-    """Run ``iterations`` Lloyd steps and return the final assignment
-    ``(vec_id, cluster)`` against the last updated centroids.
+def kmeans_fit(df: DataFrame, dim: int, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = 8,
+               iterations: int = 3,
+               round_dp: int = 6) -> tuple[DataFrame, DataFrame]:
+    """Run ``iterations`` Lloyd steps; return ``(assigned, centroids)``:
+    ``assigned`` = (id, v, cluster) against the final centroids and
+    ``centroids`` = (cluster, c) — the coarse-quantizer surface
+    :func:`nobletools_spark.textdata.ann.build_ivf` consumes.
 
     ``dim`` is static schema knowledge (embedding width); it lets the
     per-dimension means run as ``dim`` plain ``avg`` aggregates — one
@@ -74,9 +76,18 @@ def kmeans_assignments(df: DataFrame, dim: int, id_col: str = "vec_id",
                  .select("cluster", F.coalesce("mc", "c").alias("c")))
         cents = cents.localCheckpoint(eager=True)
 
-    return (assign(cents)
-            .select(F.col("id").alias(id_col),
-                    F.col("cluster").cast("int").alias("cluster")))
+    return assign(cents), cents
+
+
+def kmeans_assignments(df: DataFrame, dim: int, id_col: str = "vec_id",
+                       vec_col: str = "embedding", k: int = 8,
+                       iterations: int = 3,
+                       round_dp: int = 6) -> DataFrame:
+    """Final assignment ``(vec_id, cluster)`` of :func:`kmeans_fit`."""
+    assigned, _ = kmeans_fit(df, dim, id_col=id_col, vec_col=vec_col,
+                             k=k, iterations=iterations, round_dp=round_dp)
+    return assigned.select(F.col("id").alias(id_col),
+                           F.col("cluster").cast("int").alias("cluster"))
 
 
 def cluster_sample(assignments: DataFrame, per_cluster: int = 3,
@@ -111,14 +122,17 @@ ORDER BY {id_col}
 """
 
 
-def kmeans_assignments_sql(dim: int, k: int = 8, iterations: int = 3,
-                           round_dp: int = 6,
-                           table: str = "embeddings",
-                           id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> str:
-    """The DuckDB replay of :func:`kmeans_assignments` — chained CTEs,
-    one (assign, update) pair per iteration, identical init / tiebreak /
-    rounding rules."""
+def kmeans_cte_chain(dim: int, k: int = 8, iterations: int = 3,
+                     round_dp: int = 6,
+                     table: str = "embeddings",
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> tuple[str, str]:
+    """DuckDB CTE chain replaying :func:`kmeans_fit` — one (assign,
+    update) pair per iteration, identical init / tiebreak / rounding
+    rules. Returns ``(chain, final_assign)``: ``chain`` is a ``WITH``
+    prefix whose last centroid CTE is ``c{iterations}``, and
+    ``final_assign`` is a SELECT of (id, v, cluster) against it —
+    consumers append their own CTEs/SELECT (assignments, IVF search)."""
     assign_from = (
         "SELECT id, v, cluster FROM (\n"
         "  SELECT v.id, v.v, c.cluster,\n"
@@ -146,8 +160,19 @@ m{i} AS (SELECT cluster, list(val ORDER BY d) AS mc FROM (
   GROUP BY cluster),
 c{i} AS MATERIALIZED (SELECT c.cluster, coalesce(m.mc, c.c) AS c
          FROM c{i - 1} c LEFT JOIN m{i} m ON m.cluster = c.cluster)"""
-    final = assign_from.format(cents=f"c{iterations}")
-    return sql + f"""
+    return sql, assign_from.format(cents=f"c{iterations}")
+
+
+def kmeans_assignments_sql(dim: int, k: int = 8, iterations: int = 3,
+                           round_dp: int = 6,
+                           table: str = "embeddings",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> str:
+    """The DuckDB replay of :func:`kmeans_assignments`."""
+    chain, final = kmeans_cte_chain(dim, k=k, iterations=iterations,
+                                    round_dp=round_dp, table=table,
+                                    id_col=id_col, vec_col=vec_col)
+    return chain + f"""
 SELECT id AS {id_col}, CAST(cluster AS INT) AS cluster
 FROM ({final}) ORDER BY {id_col}
 """

@@ -60,15 +60,17 @@ def test_kg_oracle_matches_spark(spark, con, entry, name):
 # The r4-ROTATED window (VERDICT r3 #2): the 12 r3 training-data queries
 # and the 6 r2-demoted trivial ones move INSIDE the driver-checked first
 # 50; 18 long-green relational queries (>=2 validated rounds each) move
-# to the tail. r4's 3 new queries also sit in the tail, slated for r5.
+# to the tail. r5 rotation: four-times-green token_counts_bpe steps out
+# so ann_ivf_topk (the r5 oracle-checked IVF ANN) gets a driver round.
 DRIVER_WINDOW = [
     "gopher_repetition_stats", "c4_quality_filters", "substring_dup_spans",
     "minhash_neardup_pairs", "embedding_neardup_pairs",
     "embedding_ann_lsh_pairs", "embedding_ann_lsh_recall",
-    "token_counts_bpe", "doc_fingerprint_groups", "media_decode_dims",
+    "doc_fingerprint_groups", "media_decode_dims",
     "media_feature_vectors", "approx_distinct_users",
     "udtf_sentence_explode", "higher_order_array_ops", "template_items",
-    "embedding_dup_groups", "kmeans_clusters", "hashing_doc_buckets",
+    "embedding_dup_groups", "kmeans_clusters", "ann_ivf_topk",
+    "hashing_doc_buckets",
     "hashing_cosine_pairs", "curation_pipeline", "kmeans_cluster_sample",
     "datamix_stratified_sample", "datamix_report", "pack_sequences_budget",
     "bpe_pair_counts", "minhash_incremental_pairs", "tfidf_top_terms",
