@@ -352,16 +352,21 @@ def compose(annotated: DataFrame, schema: DomainSchema,
         slot_cuis = {cui for cui, _, _, _ in comp_rows}
         if comp_names & slot_cuis:
             matched = matched.localCheckpoint(eager=True)
+            # the fixpoint only grows (feeding matches back can never
+            # unmatch one), so convergence is "count stopped changing" —
+            # carried in a driver variable so each retry round costs ONE
+            # job, not two
+            prev_n = matched.count()
             for _ in range(len(comp_names) - 1):
                 pseudo = matched.select(
                     "doc_id", "sent_id", F.col("var_name").alias("cui"),
                     "start", "end")
-                nxt = _match_compounds(proj.unionByName(pseudo)) \
+                matched = _match_compounds(proj.unionByName(pseudo)) \
                     .localCheckpoint(eager=True)
-                if nxt.count() == matched.count():
-                    matched = nxt
+                n = matched.count()
+                if n == prev_n:
                     break
-                matched = nxt
+                prev_n = n
 
         comp_inst = matched.select(
             F.concat_ws("#", "doc_id", "var_name",

@@ -68,13 +68,17 @@ def triples_to_ntriples(triples: DataFrame,
                         ) -> DataFrame:
     """RDF N-Triples lines from the (subj, pred, obj) table — the
     interchange flavor of the triple export (every RDF store ingests
-    N-Triples). Subjects/objects become IRIs under ``base_iri``; IRI
-    segments are percent-encoded per RFC 3987 (space, angle brackets,
-    quotes, and non-ASCII are the characters our ids can realistically
-    carry). Pure column expressions; write with ``.write.text`` sharded."""
+    N-Triples). Subjects/objects become IRIs under ``base_iri``; the
+    characters N-Triples forbids inside an IRI (space, angle brackets,
+    quotes, braces, pipe, backslash, caret, backtick) are percent-encoded
+    — '%' itself FIRST, so the encoding is injective (without it, ids
+    'a b' and 'a%20b' would collide). Non-ASCII passes through unescaped:
+    RDF 1.1 N-Triples is UTF-8 and IRIs carry such characters directly.
+    Pure column expressions; write with ``.write.text`` sharded."""
     def iri(col):
         enc = col.cast("string")
-        for ch, pct in ((" ", "%20"), ("<", "%3C"), (">", "%3E"),
+        for ch, pct in (("%", "%25"),        # must be first: escape char
+                        (" ", "%20"), ("<", "%3C"), (">", "%3E"),
                         ('"', "%22"), ("{", "%7B"), ("}", "%7D"),
                         ("|", "%7C"), ("\\", "%5C"), ("^", "%5E"),
                         ("`", "%60")):

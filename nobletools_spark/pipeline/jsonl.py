@@ -7,10 +7,17 @@ malformed lines QUARANTINED (counted and kept, never silently dropped —
 at 100 TB a 0.1% silent drop is a million documents), and writes the
 pipeline's curated output back out as sharded JSONL.
 
-Spark-native end to end: the read is ``spark.read.json`` with
-PERMISSIVE mode + ``columnNameOfCorruptRecord`` (corrupt rows carry the
-raw line, good rows carry parsed columns), the write is ``.write.json``.
-No Python in either path.
+Spark-native end to end: the read is ``spark.read.text`` +
+``from_json`` with PERMISSIVE mode + ``columnNameOfCorruptRecord``
+(so every quarantined row carries the ORIGINAL line — extra JSON keys
+and all — for full-fidelity reprocessing), the write is
+``.write.json``. No Python in either path, and no corpus-wide cache:
+each returned branch re-scans lazily, a stateless map stage at any
+scale (the old ``spark.read.json`` + ``.cache()`` pattern pinned the
+whole parsed corpus — full text plus corrupt copies — in executor
+memory on a path advertised for 100-TB crawl dumps, and re-serialized
+quarantined rows from only the four schema fields, dropping the extra
+keys the "raw line" promise exists for).
 """
 
 from __future__ import annotations
@@ -36,34 +43,32 @@ def read_documents_jsonl(spark: SparkSession, path: str
 
     ``documents``: rows that parsed AND carry the two required fields
     (doc_id, text) — extra JSON keys are ignored by the explicit schema
-    (schema-on-read column pruning; a 50-field crawl line costs only the
-    four projected fields). ``quarantine``: the raw line + a reason, for
-    reprocessing — unparseable JSON, or parseable JSON missing a
-    required field."""
-    raw = (spark.read
-           .schema(FLAT_DOC_SCHEMA)
-           .option("mode", "PERMISSIVE")
-           .option("columnNameOfCorruptRecord", _CORRUPT)
-           .json(path))
-    # Spark disallows querying ONLY the corrupt-record column off a raw
-    # JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented
-    # pattern is to cache the parsed frame first; both returned frames
-    # then share the single parse pass instead of re-reading the files
-    raw = raw.cache()
-    ok = (raw.where(F.col(_CORRUPT).isNull()
-                    & F.col("doc_id").isNotNull()
-                    & F.col("text").isNotNull())
-          .select("doc_id", "text", "lang", "source"))
-    bad_parse = (raw.where(F.col(_CORRUPT).isNotNull())
-                 .select(F.col(_CORRUPT).alias("raw"),
-                         F.lit("unparseable").alias("reason")))
-    bad_fields = (raw.where(F.col(_CORRUPT).isNull()
-                            & (F.col("doc_id").isNull()
-                               | F.col("text").isNull()))
-                  .select(F.to_json(F.struct("doc_id", "text", "lang",
-                                             "source")).alias("raw"),
-                          F.lit("missing_required_field").alias("reason")))
-    return ok, bad_parse.unionByName(bad_fields)
+    (schema-on-read pruning; a 50-field crawl line costs only the four
+    projected fields' parse work). ``quarantine``: the ORIGINAL raw
+    line + a reason, for reprocessing — unparseable/partially-parseable
+    JSON, or parseable JSON missing a required field. Blank lines are
+    skipped (the ``spark.read.json`` convention)."""
+    parsed = (spark.read.text(path)
+              .where(F.length(F.trim("value")) > 0)
+              .select(F.col("value").alias("raw"),
+                      F.from_json(
+                          "value", FLAT_DOC_SCHEMA,
+                          {"mode": "PERMISSIVE",
+                           "columnNameOfCorruptRecord": _CORRUPT})
+                      .alias("j")))
+    ok = (parsed.where(F.col(f"j.{_CORRUPT}").isNull()
+                       & F.col("j.doc_id").isNotNull()
+                       & F.col("j.text").isNotNull())
+          .select("j.doc_id", "j.text", "j.lang", "j.source"))
+    bad = (parsed.where(F.col(f"j.{_CORRUPT}").isNotNull()
+                        | F.col("j.doc_id").isNull()
+                        | F.col("j.text").isNull())
+           .select("raw",
+                   F.when(F.col(f"j.{_CORRUPT}").isNotNull(),
+                          F.lit("unparseable"))
+                   .otherwise(F.lit("missing_required_field"))
+                   .alias("reason")))
+    return ok, bad
 
 
 def write_documents_jsonl(docs: DataFrame, path: str,

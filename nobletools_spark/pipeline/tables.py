@@ -67,6 +67,25 @@ class SnapshotTable:
     spark: SparkSession
     root: str
 
+    def __post_init__(self) -> None:
+        # Snapshot manifests and the _current pointer are driver-local
+        # POSIX files; the atomic-commit contract rests on os.replace,
+        # which no object store offers (S3 rename is copy+delete, not
+        # atomic). Accepting "s3://..." here would write the DATA to the
+        # store but the COMMIT metadata to a local directory literally
+        # named "s3:/...": commits neither durable nor visible to other
+        # readers. Fail fast instead — object-store tables go through
+        # the Iceberg catalog path (write_triples with catalog=...),
+        # whose commit protocol is designed for stores without rename.
+        import re
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", self.root):
+            raise ValueError(
+                f"SnapshotTable root must be a local filesystem path, "
+                f"got {self.root!r}: the parquet fallback's atomic "
+                f"commit (os.replace) does not exist on object stores — "
+                f"configure an Iceberg catalog (spark.sql.catalog.*) "
+                f"and pass catalog= to write_triples instead")
+
     # -- snapshot plumbing ---------------------------------------------------
 
     def _snap_dir(self) -> str:
@@ -200,10 +219,31 @@ def write_triples(spark: SparkSession, triples: DataFrame, location: str,
         else:
             try:
                 writer.append()
-            except Exception:
-                writer.create()           # first append creates the table
+            except Exception as exc:
+                # first append creates the table — but ONLY on the
+                # no-such-table analysis error; a transient append
+                # failure (commit conflict, permission, network) must
+                # surface as itself, not as a confusing "table already
+                # exists" from a blind create() retry
+                if _is_no_such_table(exc):
+                    writer.create()
+                else:
+                    raise
         return None
     return SnapshotTable(spark, location).write(triples, mode)
+
+
+def _is_no_such_table(exc: Exception) -> bool:
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:                                  # pragma: no cover
+        AnalysisException = ()
+    msg = str(exc)
+    return isinstance(exc, AnalysisException) and (
+        "TABLE_OR_VIEW_NOT_FOUND" in msg
+        or "NoSuchTableException" in msg
+        or "Table or view not found" in msg
+        or "cannot be found" in msg)
 
 
 def commit_triples_idempotent(spark: SparkSession, triples: DataFrame,

@@ -70,12 +70,24 @@ def triple_stream_writer(docs_stream: DataFrame, dico_bc, dico,
     materializes its mention triples (``include_isa=False`` — the static
     CUI->isa->CUI edges are committed once up front under the ``isa-base``
     fingerprint, not re-appended per batch), and lands through
-    ``SnapshotTable.append_once`` keyed on the batch_id. A foreachBatch
-    replay after a crash re-runs the compute but finds its fingerprint
-    already committed and no-ops, so downstream readers never see a
-    doubled batch — the Structured-Streaming + Iceberg exactly-once
-    pattern, honored by the parquet fallback too.
+    ``SnapshotTable.append_once`` keyed on (query identity, batch_id) —
+    the (queryId, batchId) key of the Iceberg/SS exactly-once pattern. A
+    foreachBatch replay after a crash re-runs the compute but finds its
+    fingerprint already committed and no-ops, so downstream readers never
+    see a doubled batch — honored by the parquet fallback too.
+
+    The query identity matters: batch ids alone RESTART AT 0 for a new
+    checkpoint location and collide across two queries appending to the
+    same table root, so a bare ``batch-{id}`` key silently DROPS the
+    second stream's early batches (data loss, not duplication). Identity
+    = hash of the checkpoint location (stable across restarts of the
+    same query, distinct per query), or a fresh random key when no
+    checkpoint is used (an uncheckpointed stream replays nothing, so the
+    key only needs to be unique per run).
     """
+    import hashlib
+    import uuid
+
     from ..pipeline.stages import isa_triples, materialize_triples
     from ..pipeline.tables import SnapshotTable
 
@@ -84,6 +96,8 @@ def triple_stream_writer(docs_stream: DataFrame, dico_bc, dico,
     if dico.isa_edges:
         SnapshotTable(spark, table_root).append_once(
             isa_triples(spark, dico), "isa-base")
+    query_key = (hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+                 if checkpoint_dir else uuid.uuid4().hex[:12])
 
     def run_batch(batch_df: DataFrame, batch_id: int):
         sentences = split_sentences(batch_df)
@@ -94,7 +108,7 @@ def triple_stream_writer(docs_stream: DataFrame, dico_bc, dico,
         triples = materialize_triples(mentions, batch_df.sparkSession, dico,
                                       include_isa=False)
         SnapshotTable(batch_df.sparkSession, table_root).append_once(
-            triples, f"batch-{batch_id}")
+            triples, f"{query_key}-batch-{batch_id}")
 
     writer = docs_stream.writeStream.foreachBatch(run_batch)
     if checkpoint_dir:

@@ -5,11 +5,21 @@ Run on a cluster exactly as the north rule states::
 
     python scripts/package_pyfiles.py nobletools_spark.zip
     spark-submit --py-files nobletools_spark.zip \
+        --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
         scripts/submit_pipeline.py \
         --input  s3://bucket/documents/            \
         --checkpoint-root s3://bucket/ckpt/run1    \
-        --table-root s3://bucket/kg/triples        \
+        --catalog lake                             \
         --method best-match --salt-buckets 8 --canonicalize
+
+On an object store the triple table MUST land through an Iceberg catalog
+(``--catalog``, as above): Iceberg's commit protocol is designed for
+stores without atomic rename. ``--table-root`` selects the parquet
+SnapshotTable fallback instead, whose commit is a local ``os.replace``
+pointer swap — it therefore accepts only LOCAL filesystem paths and
+fails fast on ``s3://``-style URIs (the data files would land in the
+store while the commit metadata landed on the driver's disk: neither
+durable nor visible to any other reader).
 
 The script only uses SparkSession.getOrCreate() plus the library surface,
 so it is agnostic to master/deploy-mode; locally it runs the same way
@@ -55,6 +65,7 @@ def main(argv=None) -> int:
 
     from nobletools_spark.pipeline.checkpoint import run_checkpointed_pipeline
     from nobletools_spark.pipeline.documents import interleave_flat_documents
+    from nobletools_spark.pipeline.tables import catalog_configured
     from nobletools_spark.terminology.dataeng import dataeng_dictionary
 
     spark = SparkSession.builder.getOrCreate()
@@ -82,7 +93,10 @@ def main(argv=None) -> int:
         table_root=args.table_root, catalog=args.catalog)
 
     snapshot_id = None
-    if args.table_root:
+    if args.table_root and not (
+            args.catalog and catalog_configured(spark, args.catalog)):
+        # fallback path only: with a catalog the commit went through
+        # Iceberg, which assigns its own snapshot ids
         from nobletools_spark.pipeline.tables import SnapshotTable
         snapshot_id = SnapshotTable(
             spark, args.table_root).current_snapshot_id()

@@ -185,6 +185,19 @@ def test_ntriples_export_shape_and_escaping(spark, tmp_path):
         assert all(p.startswith("<") and p.endswith(">") for p in parts[:3])
 
 
+def test_ntriples_encoding_is_injective(spark):
+    """'%' escapes first, so pre-encoded-looking ids never collide with
+    ids containing the raw character ('a b' vs 'a%20b'), and non-ASCII
+    passes through (RDF 1.1 N-Triples is UTF-8)."""
+    from nobletools_spark.pipeline.export import triples_to_ntriples
+    t = spark.createDataFrame(
+        [("a b", "p", "o"), ("a%20b", "p", "o"), ("mélanoma", "p", "o")],
+        "subj string, pred string, obj string")
+    subs = {r.value.split(" ")[0] for r in triples_to_ntriples(t).collect()}
+    assert subs == {"<urn:nobletools:a%20b>", "<urn:nobletools:a%2520b>",
+                    "<urn:nobletools:mélanoma>"}
+
+
 def test_ntriples_from_pipeline(spark):
     from nobletools_spark.pipeline.export import triples_to_ntriples
     docs = generate_documents(spark, 6, seed=2, partitions=2)

@@ -41,6 +41,20 @@ class TestJsonlSource:
                                      "unparseable"]
         assert q[2][1].startswith('{"doc_id": 3')
 
+    def test_quarantine_preserves_original_line(self, spark, tmp_path):
+        """The 'raw line for reprocessing' promise: quarantined rows carry
+        the ORIGINAL line verbatim, extra JSON keys included (a
+        re-serialization from the four schema fields would drop them)."""
+        src = str(tmp_path / "in" / "part-0.jsonl")
+        missing = json.dumps({"doc_id": 7, "meta": {"url": "http://x"},
+                              "extra_key": [1, 2, 3]})     # no text
+        broken = '{"doc_id": 8, "text": "broken, "custom_field": 1'
+        _write_lines(src, [missing, broken])
+        _, quarantine = read_documents_jsonl(spark, str(tmp_path / "in"))
+        got = {r.reason: r.raw for r in quarantine.collect()}
+        assert got == {"missing_required_field": missing,
+                       "unparseable": broken}
+
     def test_round_trip_lossless(self, spark, tmp_path):
         docs = spark.createDataFrame(
             [(1, "hello world", "en", "a"), (2, "unicode mélange", "fr",

@@ -355,15 +355,55 @@ class TestTripleStreamSink:
         n_snaps = len(table.snapshots())
         assert n_snaps >= 3  # isa-base + >=2 micro-batches
 
-        # replay batch 0 by hand: same fingerprint -> no new snapshot
+        # replay batch 0 by hand: same (query, batch) fingerprint -> no
+        # new snapshot (the key the writer derives from its checkpoint)
+        import hashlib
+        qk = hashlib.md5(str(tmp_path / "ckpt").encode()).hexdigest()[:12]
         mentions = detect_mentions(
             split_sentences(spark.read.parquet(src)), dico_bc)
         replay = materialize_triples(mentions, spark, dico,
                                      include_isa=False)
-        table.append_once(replay, "batch-0")
+        table.append_once(replay, f"{qk}-batch-0")
         assert len(table.snapshots()) == n_snaps
         assert {tuple(r) for r in
                 table.read().select("subj", "pred", "obj").collect()} == want
+
+    def test_two_queries_one_table_do_not_collide(self, spark, tmp_path):
+        """Batch ids restart at 0 per checkpoint location; a second query
+        appending to the same table root must NOT find its batch-0
+        fingerprint already taken (that was silent data loss under the
+        bare batch-{id} key)."""
+        from nobletools_spark.pipeline.stages import materialize_triples
+        from nobletools_spark.pipeline.tables import SnapshotTable
+        from nobletools_spark.streaming.pipeline import (
+            read_document_stream, triple_stream_writer)
+
+        dico = fixture_dictionary()
+        dico_bc = spark.sparkContext.broadcast(dico)
+        loc = str(tmp_path / "triples")
+        srcs = []
+        for i, seed in enumerate((5, 6)):
+            docs = generate_documents(spark, 4, seed=seed, partitions=1)
+            # disjoint doc ids so the two corpora contribute disjoint
+            # mention triples
+            docs = docs.withColumn(
+                "doc_id", F.concat(F.lit(f"q{i}_"), F.col("doc_id")))
+            src = str(tmp_path / f"src{i}")
+            docs.write.mode("overwrite").parquet(src)
+            srcs.append(src)
+            q = (triple_stream_writer(
+                    read_document_stream(spark, src), dico_bc, dico, loc,
+                    checkpoint_dir=str(tmp_path / f"ckpt{i}"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        got = {tuple(r) for r in SnapshotTable(spark, loc).read()
+               .select("subj", "pred", "obj").collect()}
+        both = spark.read.parquet(*srcs)
+        want = {tuple(r) for r in materialize_triples(
+            detect_mentions(split_sentences(both), dico_bc), spark, dico)
+            .select("subj", "pred", "obj").collect()}
+        assert got == want
 
     def test_isa_base_committed_once_across_restarts(self, spark, tmp_path):
         from nobletools_spark.pipeline.tables import SnapshotTable

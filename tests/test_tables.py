@@ -76,6 +76,16 @@ class TestSnapshotTable:
         with pytest.raises(FileNotFoundError):
             table.read()
 
+    def test_object_store_root_rejected(self, spark):
+        """The fallback's atomic commit is a local os.replace; an
+        object-store URI would put data in the store but commit metadata
+        on the driver's disk — fail fast and point at the catalog path."""
+        from nobletools_spark.pipeline.tables import SnapshotTable
+        for root in ("s3://bucket/kg/triples", "s3a://b/t", "gs://b/t",
+                     "hdfs://nn/t", "abfss://c@a/t"):
+            with pytest.raises(ValueError, match="Iceberg catalog"):
+                SnapshotTable(spark, root)
+
     def test_bad_mode_rejected(self, spark, table):
         with pytest.raises(ValueError):
             table.write(_triples(spark, [("a", "b", "c")]), mode="merge")
