@@ -12,6 +12,8 @@ no driver funnel)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,6 +106,61 @@ def write_eval_report(report: DataFrame, path: str) -> None:
     (eval/AnnotationEvaluation.java:91-105 analog)."""
     (report.coalesce(1).write.mode("overwrite")
      .option("sep", "\t").option("header", "true").csv(path))
+
+
+def eval_report_html(report: DataFrame, title: str = "Analysis") -> str:
+    """B5 HTML flavor: the confusion-matrix table rendered exactly like
+    the reference's ``analysis.html`` (``Analysis.getResultTableAsHTML:
+    226-235`` + ``ConfusionMatrix.getHeaderAsHTML:117-120`` — column
+    order Label/TP/TP'/FP/FN/TN/Precision/Recall/Accuracy/F1-Score,
+    bolded TOTAL row). The per-concept table is vocabulary-bounded, so
+    the collect here mirrors the reference's in-memory confusion map,
+    not a data-scale operation. Our span-level report carries no
+    per-concept TP'/TN; those render 0 like the reference does for
+    absent counts."""
+    from xml.sax.saxutils import escape as _esc
+    rows = report.orderBy("cui").collect()
+    tp = sum(r["tp"] for r in rows)
+    fp = sum(r["fp"] for r in rows)
+    fn = sum(r["fn"] for r in rows)
+
+    def metrics(tp_, fp_, fn_):
+        p = tp_ / (tp_ + fp_) if tp_ + fp_ else 0.0
+        r_ = tp_ / (tp_ + fn_) if tp_ + fn_ else 0.0
+        f1 = 2 * p * r_ / (p + r_) if p + r_ else 0.0
+        acc = tp_ / (tp_ + fp_ + fn_) if tp_ + fp_ + fn_ else 0.0
+        return p, r_, f1, acc
+
+    def tr(label, tp_, fp_, fn_, bold=False):
+        p, r_, f1, acc = metrics(tp_, fp_, fn_)
+        lab = f"<b>{_esc(label)}</b>" if bold else _esc(label)
+        cells = [lab, str(tp_), "0", str(fp_), str(fn_), "0",
+                 f"{p:.3f}", f"{r_:.3f}", f"{acc:.3f}", f"{f1:.3f}"]
+        return "<tr>" + "".join(f"<td>{c}</td>" for c in cells) + "</tr>"
+
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset=\"utf-8\">",
+        f"<title>{_esc(title)}</title></head>",
+        "<body bgcolor=\"#EEEEFF\"><center>",
+        f"<h3>{_esc(title)}</h3>",
+        "<table border=1 cellspacing=0 cellpadding=0>",
+        "<tr><th>Label</th><th>TP</th><th>TP'</th><th>FP</th><th>FN</th>"
+        "<th>TN</th><th>Precision</th><th>Recall</th><th>Accuracy</th>"
+        "<th>F1-Score</th></tr>",
+    ]
+    parts += [tr(r["cui"], r["tp"], r["fp"], r["fn"]) for r in rows]
+    parts.append(tr("TOTAL", tp, fp, fn, bold=True))
+    parts += ["</table>", "</center></body></html>"]
+    return "\n".join(parts)
+
+
+def write_eval_report_html(report: DataFrame, path: str,
+                           title: str = "Analysis") -> None:
+    """Write ``analysis.html`` (the reference's file name,
+    ``AnnotationEvaluation.ANALYSIS_HTML``) under ``path``."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "analysis.html"), "w") as f:
+        f.write(eval_report_html(report, title))
 
 
 # ------------------------------------------------------- B2: HTML export ---

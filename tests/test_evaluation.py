@@ -86,6 +86,38 @@ class TestEvaluateJoins:
                for r in per_concept_report(system, gold).collect()}
         assert rep == {"C1": (1, 0, 1), "C2": (0, 1, 0)}
 
+    def test_eval_report_html_flavor(self, spark, tmp_path):
+        """B5 HTML flavor (Analysis.getResultTableAsHTML:226-235): the
+        reference's exact column header, one row per label, a bolded
+        TOTAL row with micro-averaged metrics, written as analysis.html
+        (AnnotationEvaluation.ANALYSIS_HTML)."""
+        import os
+        from nobletools_spark.pipeline.export import (eval_report_html,
+                                                      write_eval_report_html)
+        gold = spark.createDataFrame(
+            [("d", "C1", 0, 5), ("d", "C1", 10, 15)],
+            "doc_id string, cui string, start int, end int")
+        system = spark.createDataFrame(
+            [("d", "C1", 0, 5), ("d", "C2", 0, 5)],
+            "doc_id string, cui string, start int, end int")
+        rep = per_concept_report(system, gold)
+        html = eval_report_html(rep, title="Unit")
+        assert ("<tr><th>Label</th><th>TP</th><th>TP'</th><th>FP</th>"
+                "<th>FN</th><th>TN</th><th>Precision</th><th>Recall</th>"
+                "<th>Accuracy</th><th>F1-Score</th></tr>") in html
+        # C1: tp=1 fp=0 fn=1 -> P=1.000 R=0.500 F1=0.667
+        assert ("<tr><td>C1</td><td>1</td><td>0</td><td>0</td><td>1</td>"
+                "<td>0</td><td>1.000</td><td>0.500</td><td>0.500</td>"
+                "<td>0.667</td></tr>") in html
+        # TOTAL: tp=1 fp=1 fn=1 -> P=R=0.500
+        assert ("<tr><td><b>TOTAL</b></td><td>1</td><td>0</td><td>1</td>"
+                "<td>1</td><td>0</td><td>0.500</td><td>0.500</td>"
+                "<td>0.333</td><td>0.500</td></tr>") in html
+        out = str(tmp_path / "report")
+        write_eval_report_html(rep, out, title="Unit")
+        with open(os.path.join(out, "analysis.html")) as f:
+            assert f.read() == html
+
 
 class TestGoldGate:
     """The acceptance gate: pipeline mentions vs hand gold, P/R >= 0.95."""
