@@ -254,6 +254,20 @@ class TestGraphAnalyticsPlans:
         assert "CartesianProduct" not in plan
         assert "Scan ExistingRDD" in plan      # edge table materialized once
 
+    def test_ivf_search_prunes_lists_via_broadcast(self, spark):
+        # the IVF search stage: inverted-list pruning must be a
+        # broadcast hash join on the cluster key (partition pruning at
+        # scale), never a shuffled join or a cartesian product
+        from nobletools_spark.textdata.ann import ivf_topk
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = plan_of(ivf_topk(e, dim=64, n_clusters=4, iterations=1,
+                                n_probe=2, k=5))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        # the centroid ranking runs as a row_number window over the
+        # k-row centroid table (score DESC), not a driver-side collect
+        assert "score" in plan and "row_number()" in plan
+
     def test_kmeans_assignment_has_no_shuffle_before_argmin(self, spark):
         # assignment = vectors x broadcast(centroids) + per-id window; the
         # only Exchanges in the final assign pass are the window partition
